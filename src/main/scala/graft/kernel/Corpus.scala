@@ -1,0 +1,171 @@
+package graft.kernel
+
+import java.nio.charset.StandardCharsets
+
+/** Deterministic synthetic Common-Crawl-style corpus generator.
+  *
+  * Emits `(url, warc_ts, html:binary, text, lang)` rows per
+  * `BASELINE.json.input_hint`. Generation is a pure function of (seed, index)
+  * — `java.util.Random`'s algorithm is specified by the JDK, so rows are
+  * reproducible across JVMs and across Spark partitionings; the same function
+  * generates test fixtures, golden oracles (single-threaded kernel run at
+  * generation time) and benchmark corpora. No wall-clock anywhere
+  * (SURVEY.md §7.5.5): warc_ts = fixed epoch + index.
+  *
+  * Mix mirrors the reference corpus shape: mostly ~small pages plus one
+  * deliberately giant document per ~1000 rows (the 2.8 MB DRISCOLL pdf amid
+  * 110 KB pages — SURVEY.md §4 skew note) to exercise skew handling.
+  */
+object Corpus {
+
+  final case class PageRow(url: String, warc_ts: java.sql.Timestamp,
+                           html: Array[Byte], text: String, lang: String)
+
+  val BaseEpochMs: Long = 1756684800000L // 2025-09-01T00:00:00Z, fixed
+
+  private val wordBank: Array[String] = (
+    "the quick brown fox jumps over lazy dog aurora basalt cedar delta ember " +
+    "fjord granite harbor indigo juniper krypton lumen mesa nectar onyx prism " +
+    "quartz russet sierra timber umber violet willow xenon yonder zephyr " +
+    "order case pallet freight invoice shipment carton vendor produce dairy " +
+    "frozen grocery poultry bakery beverage supply warehouse dock route truck").split(' ')
+
+  private val langMarkers = Map(
+    "en" -> "the and of to in is for with that this",
+    "de" -> "der die und von zu das mit ist nicht auf",
+    "es" -> "el la de que y en los se del por")
+
+  private val vendors = Array("newark", "sysco", "test")
+
+  def sentence(rng: java.util.Random, lang: String, nWords: Int): String = {
+    val markers = langMarkers(lang).split(' ')
+    (0 until nWords).map { _ =>
+      if (rng.nextInt(10) < 3) markers(rng.nextInt(markers.length))
+      else wordBank(rng.nextInt(wordBank.length))
+    }.mkString(" ")
+  }
+
+  private val codePrefixes = Array("FR", "DRY", "R", "MRT")
+  private def itemCode(rng: java.util.Random): String =
+    codePrefixes(rng.nextInt(4)) + (1000 + rng.nextInt(9000))
+
+  private def price(rng: java.util.Random): String =
+    "$" + (1 + rng.nextInt(500)) + "." + f"${rng.nextInt(100)}%02d"
+
+  private def date(rng: java.util.Random): String =
+    s"${1 + rng.nextInt(12)}/${1 + rng.nextInt(28)}/2025"
+
+  /** A newark-shaped order line: 16 logical fields laid out under the
+    * builtin newark template geometry, with deliberate wide spans (splittable
+    * descriptions, protected codes) to exercise G3–G5. */
+  private def pdfTableRuns(rng: java.util.Random, vendor: String): Vector[PdfLite.Run] = {
+    val t = Vendor.builtinTemplates(vendor)
+    val cols = t.columns
+    val Vector(bx1, by1, bx2, by2) = t.tableBox
+    val runs = Vector.newBuilder[PdfLite.Run]
+    val size = 12
+    // header band ABOVE the table box — filtered out by F2, but feeds A1
+    runs += PdfLite.Run(bx1, math.max(0, by1 - 80), 14, vendor.toUpperCase + " ORDER SUMMARY")
+    runs += PdfLite.Run(bx1, math.max(0, by1 - 50), 10, s"account ${10000 + rng.nextInt(89999)} week of ${date(rng)}")
+
+    // Geometry mirrors the observed reference trace (single_page_debug.log:3:
+    // adaptive threshold 6.0px = median gap 5.0 × 1.2): most runs of a line sit
+    // at y, a couple at y+5..7 (sub-line offsets), lines ~26-31px apart — so
+    // the G1 median y-gap lands near the sub-line offsets and G2 keeps lines
+    // apart while clustering the offset runs into their line.
+    val nRows = 4 + rng.nextInt(8)
+    val rowGap = 26 + rng.nextInt(6)
+    var y = by1 + 15
+    var r = 0
+    while (r < nRows && y < by2 - 40) {
+      val sub = y + 5 + rng.nextInt(3) // sub-line offset runs
+      runs += PdfLite.Run(cols(0) + 2, y, size, (100000 + rng.nextInt(899999)).toString)
+      runs += PdfLite.Run(cols(1) + 2, y, size, rng.nextInt(99).toString)
+      if (rng.nextBoolean())
+        runs += PdfLite.Run(cols(2) + 2, sub, size,
+          s"${8 * (1 + rng.nextInt(24))} per case ${1 + rng.nextInt(3)} meal") // wide splittable
+      runs += PdfLite.Run(cols(4) + 2, y, size, itemCode(rng)) // protected code, often spans 2 cols
+      runs += PdfLite.Run(cols(6) + 2, sub, size, sentence(rng, "en", 3).toUpperCase)
+      runs += PdfLite.Run(cols(9) + 2, y, size, price(rng))
+      runs += PdfLite.Run(cols(11) + 2, y, size, date(rng))
+      runs += PdfLite.Run(cols(13) + 2, y, size, rng.nextInt(500).toString)
+      // continuation line (few filled cells → exercises G7 merge)
+      if (rng.nextInt(3) == 0) {
+        y += rowGap
+        runs += PdfLite.Run(cols(6) + 2, y, size, sentence(rng, "en", 2))
+        if (rng.nextBoolean()) runs += PdfLite.Run(cols(7) + 2, y, size, sentence(rng, "en", 2))
+      }
+      y += rowGap + rng.nextInt(3)
+      r += 1
+    }
+    // footer BELOW the box
+    runs += PdfLite.Run(bx1, math.min(by2 + 30, 1180), 10, s"Page 1 of ${1 + rng.nextInt(240)}")
+    runs.result()
+  }
+
+  private def htmlPage(rng: java.util.Random, lang: String, giant: Boolean): String = {
+    val sb = new java.lang.StringBuilder
+    val nav = (1 to 6).map(i => s"""<a href="/s$i">${sentence(rng, lang, 1)}</a>""").mkString(" ")
+    sb.append("<!doctype html><html><head><title>")
+      .append(sentence(rng, lang, 4))
+      .append("</title><style>body{margin:0}</style><script>var x=1;</script></head><body>")
+    sb.append(s"<nav>$nav</nav><header><h1>").append(sentence(rng, lang, 5)).append("</h1></header>")
+    sb.append("""<div class="side"><ul>""")
+    for (i <- 1 to 8) sb.append(s"""<li><a href="/r$i">${sentence(rng, lang, 2)}</a></li>""")
+    sb.append("</ul></div>")
+    sb.append("<main><article>")
+    val nParas = if (giant) 400 else 2 + rng.nextInt(5)
+    for (_ <- 0 until nParas)
+      sb.append("<p>").append(sentence(rng, lang, 25 + rng.nextInt(40))).append(".</p>")
+    if (rng.nextInt(3) == 0 || giant) {
+      sb.append("<table>")
+      val nRows = if (giant) 300 else 3 + rng.nextInt(6)
+      for (_ <- 0 until nRows) {
+        sb.append("<tr>")
+        sb.append(s"<td>${itemCode(rng)}</td><td>${sentence(rng, lang, 3)}</td>")
+        sb.append(s"<td>${rng.nextInt(100)}</td><td>${price(rng)}</td><td>${date(rng)}</td>")
+        sb.append("</tr>")
+      }
+      sb.append("</table>")
+    }
+    sb.append("</article></main><footer>")
+    for (i <- 1 to 4) sb.append(s"""<a href="/f$i">${sentence(rng, lang, 1)}</a> """)
+    sb.append("</footer></body></html>")
+    sb.toString
+  }
+
+  /** Pure (seed, index) → row. Safe to call from any partition concurrently. */
+  def page(i: Long, seed: Long = 42L): PageRow = {
+    val rng = new java.util.Random(seed * 0x9E3779B97F4A7C15L + i * 0x100000001b3L)
+    rng.nextLong() // warm up (first draw of java.util.Random is weakly mixed)
+    val lang = { val d = rng.nextInt(10); if (d < 8) "en" else if (d < 9) "de" else "es" }
+    val giant = i % 1000 == 999
+    val kindDraw = rng.nextInt(100)
+
+    if (giant || kindDraw < 65) {
+      val html = htmlPage(rng, lang, giant)
+      val textPreview = {
+        // plain-text rendering stand-in (crawler-provided `text` column)
+        val s = sentence(rng, lang, 60)
+        s + " " + s.take(80)
+      }
+      PageRow(f"https://synth.test/html/page-$i%09d",
+        new java.sql.Timestamp(BaseEpochMs + i * 1000),
+        html.getBytes(StandardCharsets.UTF_8), textPreview, lang)
+    } else {
+      val vendor = vendors(rng.nextInt(vendors.length))
+      val scanned = kindDraw >= 90
+      val runs = pdfTableRuns(rng, vendor)
+      val bytes = PdfLite.write(1700, 1200, runs, scanned = scanned)
+      val text =
+        if (scanned) "" // forces the scanned route (detect: no meaningful text)
+        else runs.map(_.text).mkString(" ")
+      PageRow(f"https://synth.test/pdf/$vendor%s/page-$i%09d",
+        new java.sql.Timestamp(BaseEpochMs + i * 1000),
+        bytes, text, lang)
+    }
+  }
+
+  def rows(n: Int, seed: Long = 42L): Iterator[PageRow] =
+    (0L until n.toLong).iterator.map(page(_, seed))
+}

@@ -1,0 +1,136 @@
+package graft.kernel
+
+import java.nio.charset.StandardCharsets
+
+/** The whole per-document pipeline as ONE pure function `Page → ExtractedDoc`
+  * (SURVEY.md §0: that purity is exactly what makes the reference graftable
+  * onto Spark). Spark's only job is to run this at scale; no Spark types here.
+  *
+  * Chain per document (EP3 trace, SURVEY.md §3):
+  * route sniff (S5 analog) → payload parse (S4 analog: PDF-lite layout walk or
+  * HTML boilerplate strip) → confidence filter (S3) → vendor detect (A1) →
+  * template lookup (J1/J2) → slice (G1–G9) → quality (A2–A8) → ExtractedDoc.
+  * Exceptions become failure-taxonomy rows, never task failures
+  * (`ultimate_batch_processor.py:44-46` → per-row `failure` column).
+  */
+object Extractor {
+
+  val ConfidenceThreshold = 60        // extract.py:34
+  val PipelineRowThreshold = 20.0     // table_slicer.py:57
+  val MaxBytes: Long = 100L * 1024 * 1024
+
+  private val slicer = new Slicer(defaultRowThreshold = PipelineRowThreshold)
+  private val checker = new QualityChecker()
+
+  /** FNV-1a 64-bit — deterministic pseudo-confidence source for the scanned
+    * route (the reference's Tesseract confidences are an environment effect;
+    * here they are a pure function of (url, item index) so the oracle and the
+    * engine agree byte-for-byte). */
+  def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= (s.charAt(i) & 0xffffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Route detection — analog of `detect_pdf_type` (smart_extract.py:30-62):
+    * meaningful pre-extracted text ⇒ native with conf min(1, len/1000);
+    * image marker ⇒ scanned 0.9; else scanned 0.5. HTML payloads route "html". */
+  def detectRoute(isPdf: Boolean, text: String, hasImage: Boolean): (String, Double) = {
+    if (!isPdf) ("html", 1.0)
+    else {
+      val textLength = Py.strip(text).length
+      if (textLength > 100) ("native", math.min(1.0, textLength / 1000.0))
+      else if (hasImage) ("scanned", 0.9)
+      else ("scanned", 0.5)
+    }
+  }
+
+  /** Scanned-route confidence assignment + S3 source filter
+    * (conf > 60 && non-blank, extract.py:153-154). */
+  def applyScannedConfidence(url: String, items: Vector[TextItem]): Vector[TextItem] =
+    items.zipWithIndex.map { case (it, idx) =>
+      val conf = 40 + (java.lang.Long.remainderUnsigned(fnv1a64(url + "#" + idx), 60L)).toInt
+      it.copy(confidence = conf)
+    }.filter(it => it.confidence > ConfidenceThreshold && Py.strip(it.text).nonEmpty)
+
+  /** Template-less layout text: rows via G2 clustering, x-ordered, space-joined
+    * — the generic "main content" rendering of a positioned-text page. */
+  def layoutText(items: Seq[TextItem]): String = {
+    if (items.isEmpty) return ""
+    val threshold = slicer.getAdaptiveRowThreshold(items)
+    slicer.groupIntoRows(items, threshold)
+      .map(row => row.sortBy(_.x).map(_.text).mkString(" "))
+      .mkString("\n")
+  }
+
+  def extract(url: String, payload: Array[Byte], text: String, lang: String,
+              templates: Map[String, Template] = Vendor.builtinTemplates): ExtractedDoc = {
+    val nBytes = if (payload == null) 0L else payload.length.toLong
+    if (payload == null || payload.isEmpty)
+      return ExtractedDoc.failed(url, nBytes, "empty_payload")
+    if (nBytes > MaxBytes)
+      return ExtractedDoc.failed(url, nBytes, "oversize") // app.py:121-130 analog
+    try {
+      val pdf = PdfLite.isPdf(payload)
+      if (pdf) extractPdf(url, payload, text, nBytes, templates)
+      else extractHtml(url, payload, nBytes, templates)
+    } catch {
+      case e: Exception =>
+        ExtractedDoc.failed(url, nBytes, s"parse_error:${e.getClass.getSimpleName}")
+    }
+  }
+
+  private def extractPdf(url: String, payload: Array[Byte], text: String,
+                         nBytes: Long, templates: Map[String, Template]): ExtractedDoc = {
+    val parsed = PdfLite.parse(payload)
+    val (route, routeConf) = detectRoute(isPdf = true, text, parsed.hasImage)
+    val items =
+      if (route == "scanned") applyScannedConfidence(url, parsed.items)
+      else parsed.items // native: conf already 100, blank-stripped at parse
+
+    // A1 vendor detection keyed on the template registry's own names
+    val keywords = templates.keys.toVector.sorted.map(v => v -> Vector(v))
+    val vendor = Vendor.detectVendor(items, keywords)
+    val template = vendor.flatMap(v => Vendor.getTemplate(v, templates))
+
+    template match {
+      case Some(t) =>
+        val cells = slicer.sliceToTable(items, t.tableBox, t.columns, page = Some(1))
+        val extractedText = cells.map(_.mkString("\t")).mkString("\n")
+        val spans = for {
+          (row, r) <- cells.zipWithIndex
+          (cell, c) <- row.zipWithIndex
+          if cell.nonEmpty && c + 1 < t.columns.length
+        } yield CellSpan(r, c, t.columns(c), r, t.columns(c + 1) - t.columns(c), 1)
+        val quality = checker.checkExtraction(cells, items)
+        ExtractedDoc(url, route, routeConf, vendor.getOrElse(""), extractedText,
+          cells, spans.toVector, quality, items.length, nBytes, "")
+      case None =>
+        val extractedText = layoutText(items)
+        val lineGrid = extractedText.split("\n", -1).toVector
+          .filter(_.nonEmpty).map(Vector(_))
+        val quality = checker.checkExtraction(lineGrid, items)
+        ExtractedDoc(url, route, routeConf, vendor.getOrElse(""), extractedText,
+          Vector.empty, Vector.empty, quality, items.length, nBytes, "")
+    }
+  }
+
+  private def extractHtml(url: String, payload: Array[Byte],
+                          nBytes: Long, templates: Map[String, Template]): ExtractedDoc = {
+    val html = new String(payload, StandardCharsets.UTF_8)
+    val res = Html.extract(html)
+    val keywords = templates.keys.toVector.sorted.map(v => v -> Vector(v))
+    val vendor = Vendor.detectVendor(res.items, keywords)
+    val grid =
+      if (res.cells.nonEmpty) res.cells
+      else res.mainText.split("\n", -1).toVector.filter(_.nonEmpty).map(Vector(_))
+    val quality = checker.checkExtraction(grid, res.items)
+    ExtractedDoc(url, "html", 1.0, vendor.getOrElse(""), res.mainText,
+      res.cells, res.spans, quality, res.items.length, nBytes, "")
+  }
+}
