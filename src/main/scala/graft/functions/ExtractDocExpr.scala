@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.types.DataType
+import org.apache.spark.sql.{Column, Encoders, SparkSessionExtensions}
+import org.apache.spark.unsafe.types.UTF8String
+import graft.kernel.{ExtractedDoc, Extractor, Template, Vendor}
+
+/** Catalyst expression `extract_doc(url, html, text, lang)` → ExtractedDoc
+  * struct — the column-API / SQL face of the kernel (the mapPartitions path in
+  * [[graft.spark.ExtractPipeline]] is the bulk path; this one composes with
+  * arbitrary projections, e.g. `SELECT extract_doc(...).quality.overallScore`).
+  *
+  * `CodegenFallback` is deliberate: the kernel is opaque Scala — generated
+  * code would just call back into it, buying nothing (SURVEY.md §2.11). The
+  * expression is non-deterministic-free, null-intolerant on url, and returns
+  * a failure-taxonomy struct rather than throwing (per-row failure isolation).
+  */
+case class ExtractDocExpr(children: Seq[Expression],
+                          templates: Map[String, Template] = Vendor.builtinTemplates)
+    extends Expression with CodegenFallback {
+
+  require(children.length == 4, "extract_doc(url, html, text, lang)")
+
+  @transient private lazy val encoder = ExpressionEncoder(
+    Encoders.product[ExtractedDoc]
+      .asInstanceOf[org.apache.spark.sql.catalyst.encoders.AgnosticEncoder[ExtractedDoc]])
+  @transient private lazy val serializer = encoder.createSerializer()
+
+  override def dataType: DataType = encoder.schema
+  override def nullable: Boolean = true
+
+  override def eval(input: InternalRow): Any = {
+    val u = children(0).eval(input)
+    if (u == null) return null
+    val html = children(1).eval(input).asInstanceOf[Array[Byte]]
+    val textEv = children(2).eval(input)
+    val langEv = children(3).eval(input)
+    val doc = Extractor.extract(
+      u.asInstanceOf[UTF8String].toString,
+      html,
+      if (textEv == null) "" else textEv.asInstanceOf[UTF8String].toString,
+      if (langEv == null) "" else langEv.asInstanceOf[UTF8String].toString,
+      templates)
+    serializer(doc).copy()
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
+object ExtractDocExpr {
+  /** Column-API helper: `df.select(extractDoc($"url", $"html", $"text", $"lang"))`. */
+  def extractDoc(url: Column, html: Column, text: Column, lang: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(ExtractDocExpr(
+      Seq(url, html, text, lang).map(GraftColumnBridge.expression)))
+  }
+}
+
+/** `SparkSessionExtensions` hook registering `extract_doc` for SQL use:
+  * `spark.sql("SELECT extract_doc(url, html, text, lang).extractedText FROM pages")`.
+  * Enable via `spark.sql.extensions=graft.functions.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("extract_doc"),
+      new ExpressionInfo(classOf[ExtractDocExpr].getName, "extract_doc"),
+      (exprs: Seq[Expression]) => ExtractDocExpr(exprs)))
+  }
+}

@@ -77,23 +77,27 @@ object Corpus {
     val rowGap = 26 + rng.nextInt(6)
     var y = by1 + 15
     var r = 0
+    // field positions as fractions of the column count — templates differ in
+    // arity (test: 3 cols, sysco: 10, newark: 16)
+    val nCols = cols.length - 1
+    def cx(frac: Double): Int = cols(math.min(nCols - 1, (frac * nCols).toInt)) + 2
     while (r < nRows && y < by2 - 40) {
       val sub = y + 5 + rng.nextInt(3) // sub-line offset runs
-      runs += PdfLite.Run(cols(0) + 2, y, size, (100000 + rng.nextInt(899999)).toString)
-      runs += PdfLite.Run(cols(1) + 2, y, size, rng.nextInt(99).toString)
+      runs += PdfLite.Run(cx(0.0), y, size, (100000 + rng.nextInt(899999)).toString)
+      runs += PdfLite.Run(cx(0.07), y, size, rng.nextInt(99).toString)
       if (rng.nextBoolean())
-        runs += PdfLite.Run(cols(2) + 2, sub, size,
+        runs += PdfLite.Run(cx(0.14), sub, size,
           s"${8 * (1 + rng.nextInt(24))} per case ${1 + rng.nextInt(3)} meal") // wide splittable
-      runs += PdfLite.Run(cols(4) + 2, y, size, itemCode(rng)) // protected code, often spans 2 cols
-      runs += PdfLite.Run(cols(6) + 2, sub, size, sentence(rng, "en", 3).toUpperCase)
-      runs += PdfLite.Run(cols(9) + 2, y, size, price(rng))
-      runs += PdfLite.Run(cols(11) + 2, y, size, date(rng))
-      runs += PdfLite.Run(cols(13) + 2, y, size, rng.nextInt(500).toString)
+      runs += PdfLite.Run(cx(0.27), y, size, itemCode(rng)) // protected code, often spans 2 cols
+      runs += PdfLite.Run(cx(0.40), sub, size, sentence(rng, "en", 3).toUpperCase)
+      runs += PdfLite.Run(cx(0.58), y, size, price(rng))
+      runs += PdfLite.Run(cx(0.70), y, size, date(rng))
+      runs += PdfLite.Run(cx(0.83), y, size, rng.nextInt(500).toString)
       // continuation line (few filled cells → exercises G7 merge)
       if (rng.nextInt(3) == 0) {
         y += rowGap
-        runs += PdfLite.Run(cols(6) + 2, y, size, sentence(rng, "en", 2))
-        if (rng.nextBoolean()) runs += PdfLite.Run(cols(7) + 2, y, size, sentence(rng, "en", 2))
+        runs += PdfLite.Run(cx(0.40), y, size, sentence(rng, "en", 2))
+        if (rng.nextBoolean()) runs += PdfLite.Run(cx(0.46), y, size, sentence(rng, "en", 2))
       }
       y += rowGap + rng.nextInt(3)
       r += 1
