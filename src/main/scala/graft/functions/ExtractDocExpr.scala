@@ -1,14 +1,13 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.types.DataType
-import org.apache.spark.sql.{Column, Encoders, SparkSessionExtensions}
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.unsafe.types.UTF8String
-import graft.kernel.{ExtractedDoc, Extractor, Template, Vendor}
+import graft.kernel.{Extractor, Template, Vendor}
 
 /** Catalyst expression `extract_doc(url, html, text, lang)` → ExtractedDoc
   * struct — the column-API / SQL face of the kernel (the mapPartitions path in
@@ -26,12 +25,7 @@ case class ExtractDocExpr(children: Seq[Expression],
 
   require(children.length == 4, "extract_doc(url, html, text, lang)")
 
-  @transient private lazy val encoder = ExpressionEncoder(
-    Encoders.product[ExtractedDoc]
-      .asInstanceOf[org.apache.spark.sql.catalyst.encoders.AgnosticEncoder[ExtractedDoc]])
-  @transient private lazy val serializer = encoder.createSerializer()
-
-  override def dataType: DataType = encoder.schema
+  override def dataType: DataType = DocRow.schema
   override def nullable: Boolean = true
 
   override def eval(input: InternalRow): Any = {
@@ -46,7 +40,9 @@ case class ExtractDocExpr(children: Seq[Expression],
       if (textEv == null) "" else textEv.asInstanceOf[UTF8String].toString,
       if (langEv == null) "" else langEv.asInstanceOf[UTF8String].toString,
       templates)
-    serializer(doc).copy()
+    // hand-rolled conversion — the generic encoder serializer is ~10× the
+    // kernel cost (see DocRow scaladoc)
+    DocRow.toRow(doc)
   }
 
   override protected def withNewChildrenInternal(
@@ -55,10 +51,17 @@ case class ExtractDocExpr(children: Seq[Expression],
 
 object ExtractDocExpr {
   /** Column-API helper: `df.select(extractDoc($"url", $"html", $"text", $"lang"))`. */
-  def extractDoc(url: Column, html: Column, text: Column, lang: Column): Column = {
+  def extractDoc(url: Column, html: Column, text: Column, lang: Column): Column =
+    extractDoc(url, html, text, lang, Vendor.builtinTemplates)
+
+  /** As above with an explicit template registry (serialized into the
+    * expression — registries are KBs; for a huge registry broadcast it and
+    * use the mapPartitions path instead). */
+  def extractDoc(url: Column, html: Column, text: Column, lang: Column,
+                 templates: Map[String, Template]): Column = {
     import org.apache.spark.sql.GraftColumnBridge
     GraftColumnBridge.column(ExtractDocExpr(
-      Seq(url, html, text, lang).map(GraftColumnBridge.expression)))
+      Seq(url, html, text, lang).map(GraftColumnBridge.expression), templates))
   }
 }
 

@@ -1,0 +1,230 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import OpsCommon._
+
+/** Deduplication operators over `documents` — the four standard web-corpus
+  * dedup levels, each with a DuckDB-checkable oracle:
+  *
+  *  - exact (content-hash groupBy),
+  *  - n-gram Jaccard (shingle inverted index, blocked by `source`),
+  *  - MinHash + LSH (signature → band → bucket join → verify),
+  *  - SimHash (bitwise majority signature).
+  *
+  * Scale design: all pairwise work goes through an inverted index
+  * (explode → join on shingle/band/bit-bucket) — never a cross join. The
+  * candidate space is bounded by bucket sizes, which is the property that
+  * survives 100×: at 10^12 docs you add band-key salting for hot buckets and
+  * a `groupBy(band).count` skew probe first, but the dataflow is unchanged.
+  * Hashing is md5-derived ([[OpsCommon.hash31]]) so the DuckDB oracle can
+  * reproduce signatures bit-for-bit.
+  */
+object DedupOps {
+
+  /** q18_dedup_exact — exact dedup: md5 content hash, min-id representative
+    * per group (deterministic survivor policy). */
+  def q18DedupExact(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_copies"))
+      .groupBy()
+      .agg(count(lit(1)).as("n_groups"),
+           sum(col("n_copies")).cast("long").as("n_docs"),
+           (sum(col("n_copies")) - count(lit(1))).cast("long").as("n_duplicates"),
+           min(col("rep_id")).as("min_rep"))
+
+  val q18DedupExactSql: String =
+    """SELECT count(*) AS n_groups, cast(sum(n_copies) as bigint) AS n_docs,
+      |  cast(sum(n_copies) - count(*) as bigint) AS n_duplicates,
+      |  min(rep_id) AS min_rep
+      |FROM (SELECT md5(text) AS content_hash, min(doc_id) AS rep_id,
+      |        count(*) AS n_copies
+      |      FROM documents GROUP BY 1)""".stripMargin
+
+  /** Distinct word-trigram shingles per doc: (doc_id, source, shingle). */
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), explode(triShingles(tokens(col("text")))).as("g"))
+
+  private val shinglesSql: String =
+    s"""SELECT doc_id, source, unnest(${triShinglesSql("string_split(text, ' ')")}) AS g
+       |      FROM documents""".stripMargin
+
+  /** q19_dedup_ngram — n-gram Jaccard near-dup, blocked by `source`
+    * (the standard "same-domain" blocking key): inverted index on shingle →
+    * pair intersection counts → Jaccard = |∩| / (|A|+|B|−|∩|). Pure integer
+    * arithmetic until the final single division. */
+  def q19DedupNgram(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"),
+        col("a.g") === col("b.g") && col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "sh_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "sh_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") / (col("sh_a") + col("sh_b") - col("n_inter")), 6))
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q19DedupNgramSql: String =
+    s"""WITH sh AS ($shinglesSql),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.g = b.g AND a.source = b.source
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, n_inter,
+       |  round(cast(n_inter as double) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+       |FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** MinHash parameters: 8 permutations h_i(x) = (a_i·x + b_i) mod p over the
+    * 31-bit base hash; constants sized so a_i·x + b_i < 2^63 (no overflow on
+    * either engine — DuckDB errors on BIGINT overflow rather than wrapping). */
+  val MinhashPerms = 8
+  val MinhashP = 1000000007L
+  def permA(i: Int): Long = 2L * i + 3
+  def permB(i: Int): Long = 104729L * i + 12345
+
+  /** MinHash signature per doc: min over shingles of each permuted hash. */
+  private def minhashSigs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir).withColumn("h", hash31(col("g")))
+    val aggs = (0 until MinhashPerms).map(i =>
+      min((col("h") * permA(i) + permB(i)) % MinhashP).as(s"mh_$i"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  private val minhashSigsSql: String = {
+    val mins = (0 until MinhashPerms)
+      .map(i => s"min((h * ${permA(i)} + ${permB(i)}) % $MinhashP) AS mh_$i")
+      .mkString(",\n         ")
+    s"""SELECT doc_id,
+       |         $mins
+       |  FROM (SELECT doc_id, ${hash31Sql("g")} AS h FROM ($shinglesSql))
+       |  GROUP BY 1""".stripMargin
+  }
+
+  /** q20_minhash_lsh — MinHash LSH near-dup: b=8 bands × r=1 row (candidate =
+    * any colliding permutation; the right config for the low-similarity tail),
+    * candidates verified with true shingle Jaccard. The band join is the
+    * LSH-bucket join; at scale its skew is governed by band-bucket sizes, not
+    * document count. */
+  def q20MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSigs(spark, dir).cache()
+    // unpivot to (doc_id, band, value) — the bucket index
+    val bandCols = (0 until MinhashPerms).flatMap(i =>
+      Seq(lit(i), col(s"mh_$i")))
+    val buckets = sigs
+      .select(col("doc_id"), explode(map(bandCols: _*)).as(Seq("band", "bval")))
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    // verify candidates with exact shingle Jaccard
+    val sh = shingles(spark, dir).select(col("doc_id"), col("g")).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("id_a"), col("g")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("g").as("g2")), "id_b")
+      .filter(col("g") === col("g2"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    cand.join(inter, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("sh_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") / (col("sh_a") + col("sh_b") - col("n_inter")), 6))
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q20MinhashLshSql: String = {
+    val bandUnion = (0 until MinhashPerms)
+      .map(i => s"SELECT doc_id, $i AS band, mh_$i AS bval FROM sigs")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH sigs AS (
+       |$minhashSigsSql),
+       |buckets AS (
+       |  $bandUnion),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM buckets a JOIN buckets b
+       |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id),
+       |sh AS ($shinglesSql),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT id_a, id_b, count(*) AS n_inter
+       |  FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b
+       |  WHERE a.g = b.g GROUP BY 1, 2)
+       |SELECT c.id_a, c.id_b, coalesce(i.n_inter, 0) AS n_inter,
+       |  round(cast(coalesce(i.n_inter, 0) as double) /
+       |        (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)), 6) AS jaccard
+       |FROM cand c
+       |LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+       |JOIN sizes sa ON sa.doc_id = c.id_a JOIN sizes sb ON sb.doc_id = c.id_b
+       |ORDER BY c.id_a, c.id_b""".stripMargin
+  }
+
+  val SimhashBits = 32
+
+  /** q21_simhash — SimHash signature per document: for each bit j of the
+    * 31-bit token hash, sum ±1 over the doc's DISTINCT tokens; bit set iff
+    * the sum is positive. Emits the signature census (signature, n_docs) —
+    * docs sharing a signature are near-dup candidates. */
+  def q21Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = table(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .distinct()
+      .withColumn("h", hash31(col("tok")))
+    val bitSums = (0 until SimhashBits).map(j =>
+      sum(when(shiftright(col("h"), j) % 2 === 1, 1).otherwise(-1)).as(s"s_$j"))
+    val perDoc = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until SimhashBits)
+      .map(j => when(col(s"s_$j") > 0, 1L << j).otherwise(0L))
+      .reduce(_ + _)
+    perDoc.withColumn("simhash", sig)
+      .select(col("doc_id"), col("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q21SimhashSql: String = {
+    val sums = (0 until SimhashBits)
+      .map(j => s"sum(CASE WHEN (h // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s_$j")
+      .mkString(",\n    ")
+    val sig = (0 until SimhashBits)
+      .map(j => s"CASE WHEN s_$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""SELECT doc_id, cast($sig as bigint) AS simhash FROM (
+       |  SELECT doc_id,
+       |    $sums
+       |  FROM (SELECT DISTINCT doc_id, tok, ${hash31Sql("tok")} AS h FROM (
+       |          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |        WHERE tok <> '')
+       |  GROUP BY 1)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_dedup_exact" -> (q18DedupExact _),
+    "q19_dedup_ngram" -> (q19DedupNgram _),
+    "q20_minhash_lsh" -> (q20MinhashLsh _),
+    "q21_simhash" -> (q21Simhash _))
+
+  def oracles: Map[String, String] = Map(
+    "q18_dedup_exact" -> q18DedupExactSql,
+    "q19_dedup_ngram" -> q19DedupNgramSql,
+    "q20_minhash_lsh" -> q20MinhashLshSql,
+    "q21_simhash" -> q21SimhashSql)
+}

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import OpsCommon._
+
+/** Similarity search over the `embeddings` table (`vec_id, embedding:
+  * array<float> (64-d), label`).
+  *
+  * Three tiers, mirroring how ANN actually scales on Spark:
+  *
+  *  - '''brute-force top-k''' (q22): the correctness baseline — broadcast the
+  *    query vector, one narrow map computing cosine, TakeOrdered for top-k.
+  *    At 100 TB this stays the right plan for a SINGLE query (scan-bound, no
+  *    shuffle); it's the batch-of-queries case that needs an index.
+  *  - '''sign-LSH bucketing''' (q23): hyperplane-sign signature as bucket key
+  *    (axis-aligned planes so the DuckDB oracle reproduces it exactly);
+  *    candidates = same-bucket join. This is the IVF-style scale path:
+  *    bucket count grows with corpus size, the per-bucket join is the only
+  *    shuffle, and skewed buckets get salted like any hot key.
+  *  - '''near-dup pairs''' (q24): all-pairs cosine within a blocking key
+  *    (`label`) — the embedding-cosine dedup pass, blocked exactly like
+  *    n-gram dedup blocks on source.
+  *
+  * All arithmetic is double, left-to-right folds ([[OpsCommon.dot]]) so both
+  * engines execute identical IEEE op sequences. Norms are computed ONCE per
+  * vector before any pairing (O(n·d)) rather than per pair (O(n²·d)) — same
+  * values, ~d× less work on the pair stage.
+  */
+object EmbeddingOps {
+
+  /** Vectors with precomputed L2 norm. */
+  private def embDocs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), asDoubles(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(norm2(col("v"))))
+
+  private val embSql =
+    "SELECT vec_id, label, v, sqrt(" + norm2Sql("v") + ") AS nrm FROM " +
+      "(SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)"
+
+  /** Cosine from precomputed norms (pair stage does only the dot). */
+  private def cosPre(va: Column, vb: Column, na: Column, nb: Column): Column =
+    round(dot(va, vb) / (na * nb), 4)
+
+  private def cosPreSql(va: String, vb: String, na: String, nb: String): String =
+    s"round(${dotSql(va, vb)} / ($na * $nb), 4)"
+
+  /** q22_cosine_topk — brute-force cosine top-10 for the query vector
+    * (vec_id = 0), the ANN correctness baseline. */
+  def q22CosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = embDocs(spark, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"), col("nrm").as("qn"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("sim", cosPre(col("v"), col("qv"), col("nrm"), col("qn")))
+      .select(col("vec_id"), col("label"), col("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  val q22CosineTopkSql: String =
+    s"""WITH e AS ($embSql),
+       |q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 0)
+       |SELECT vec_id, label, ${cosPreSql("v", "qv", "nrm", "qn")} AS sim
+       |FROM e CROSS JOIN q WHERE vec_id <> 0
+       |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  val LshDims = 4
+
+  /** Sign-LSH bucket id: 4 axis-aligned hyperplanes (dims 1..4, 1-based),
+    * bucket = Σ (v[d] > 0) << d — 16 buckets. */
+  private def lshBucket(v: Column): Column =
+    (0 until LshDims)
+      .map(d => when(element_at(v, d + 1) > 0.0, 1L << d).otherwise(0L))
+      .reduce(_ + _)
+
+  private val lshBucketSql: String =
+    (0 until LshDims)
+      .map(d => s"(CASE WHEN v[${d + 1}] > 0.0 THEN ${1L << d} ELSE 0 END)")
+      .mkString(" + ")
+
+  /** q23_ann_lsh — LSH-bucketed ANN for the query vector: candidates share
+    * the query's sign-bucket (≈ n/16 of the corpus), ranked by true cosine.
+    * The recall/cost dial is the number of hyperplanes. */
+  def q23AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = embDocs(spark, dir).withColumn("bucket", lshBucket(col("v")))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qn"), col("bucket").as("qbucket"))
+    e.filter(col("vec_id") =!= 0)
+      .join(broadcast(q), col("bucket") === col("qbucket"))
+      .withColumn("sim", cosPre(col("v"), col("qv"), col("nrm"), col("qn")))
+      .select(col("vec_id"), col("bucket"), col("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(5)
+  }
+
+  val q23AnnLshSql: String =
+    s"""WITH e AS (SELECT vec_id, label, v, nrm, $lshBucketSql AS bucket FROM ($embSql)),
+       |q AS (SELECT v AS qv, nrm AS qn, bucket AS qbucket FROM e WHERE vec_id = 0)
+       |SELECT vec_id, bucket, ${cosPreSql("v", "qv", "nrm", "qn")} AS sim
+       |FROM e JOIN q ON bucket = qbucket WHERE vec_id <> 0
+       |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin
+
+  /** q24_emb_neardup — embedding-cosine near-dup pairs within a label block:
+    * all same-label pairs with cosine ≥ 0.25 (the corpus has no planted
+    * clusters, so the threshold sits in the distribution tail — the operator
+    * semantics, not the hit-rate, are under test). */
+  def q24EmbNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val e = embDocs(spark, dir)
+    e.as("a")
+      .join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", cosPre(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")))
+      .filter(col("sim") >= 0.25)
+      .select(col("a.label").as("label"), col("a.vec_id").as("id_a"),
+        col("b.vec_id").as("id_b"), col("sim"))
+      .orderBy(col("label"), col("id_a"), col("id_b"))
+  }
+
+  val q24EmbNeardupSql: String =
+    s"""WITH e AS ($embSql)
+       |SELECT label, id_a, id_b, sim FROM (
+       |  SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ${cosPreSql("a.v", "b.v", "a.nrm", "b.nrm")} AS sim
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+       |WHERE sim >= 0.25
+       |ORDER BY label, id_a, id_b""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_cosine_topk" -> (q22CosineTopk _),
+    "q23_ann_lsh" -> (q23AnnLsh _),
+    "q24_emb_neardup" -> (q24EmbNeardup _))
+
+  def oracles: Map[String, String] = Map(
+    "q22_cosine_topk" -> q22CosineTopkSql,
+    "q23_ann_lsh" -> q23AnnLshSql,
+    "q24_emb_neardup" -> q24EmbNeardupSql)
+}

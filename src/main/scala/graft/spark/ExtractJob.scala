@@ -1,8 +1,7 @@
 package graft.spark
 
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.util.LongAccumulator
 import graft.kernel._
 
 /** The production job: scan → pre-filter → salted repartition → kernel map →
@@ -27,8 +26,9 @@ import graft.kernel._
   *    input buckets against committed lineage — no dup, no loss, verified by
   *    the kill/rerun spec.
   *
-  *  - '''Metrics''': docs/bytes/failure-taxonomy via `LongAccumulator`s
-  *    (cheap, no extra action) + per-bucket lineage rows (durable).
+  *  - '''Metrics''': docs/bytes/failure-taxonomy from the per-bucket lineage
+  *    rows (durable, race-free: a doc is counted iff its bucket committed;
+  *    the rollup is a columnar scan of the run's own lineage, O(nBuckets)).
   *
   * At 10^12 docs this layout holds: nBuckets scales to O(10^5) (lineage stays
   * tiny), numPartitions to O(cores×4); nothing here collects data to the
@@ -42,13 +42,6 @@ object ExtractJob {
   final case class Metrics(docs: Long, bytes: Long, okDocs: Long, failedDocs: Long,
                            emptyDocs: Long, wallSec: Double, docsPerSec: Double,
                            mbPerSec: Double)
-
-  final class Counters(spark: SparkSession) extends Serializable {
-    val docs: LongAccumulator = spark.sparkContext.longAccumulator("graft.docs")
-    val bytes: LongAccumulator = spark.sparkContext.longAccumulator("graft.bytes")
-    val failed: LongAccumulator = spark.sparkContext.longAccumulator("graft.failed")
-    val empty: LongAccumulator = spark.sparkContext.longAccumulator("graft.emptyExtraction")
-  }
 
   /** Deterministic checkpoint unit: which output bucket a url belongs to.
     * Input-only function ⇒ stable across runs and cluster sizes. */
@@ -71,7 +64,6 @@ object ExtractJob {
           resume: Boolean = false,
           templates: Map[String, Template] = Vendor.builtinTemplates): Metrics = {
     import spark.implicits._
-    import ExtractPipeline.docEnc
 
     val t0 = System.nanoTime()
     val parts = if (numPartitions > 0) numPartitions
@@ -82,38 +74,33 @@ object ExtractJob {
     val bucketed = withBucket(pages, nBuckets)
 
     // resume: drop buckets already committed (bucket-id set is ≤ nBuckets —
-    // safe to collect at any data scale)
-    val pending =
-      if (resume && fileExists(spark, lineagePath)) {
-        val done = spark.read.parquet(lineagePath)
+    // safe to collect at any data scale). The pending set is derived from the
+    // tiny lineage table ONLY — never from a scan of the input (at 10^12 docs
+    // an extra input pass just to enumerate buckets would double the job).
+    val done: Set[Long] =
+      if (resume && fileExists(spark, lineagePath))
+        spark.read.parquet(lineagePath)
           .filter($"status" === "ok")
           .select("bucket").distinct().as[Long].collect().toSet
-        if (done.isEmpty) bucketed
-        else bucketed.filter(!$"bucket".isin(done.toSeq: _*))
-      } else bucketed
-
-    val counters = new Counters(spark)
-    val templatesBc = spark.sparkContext.broadcast(templates)
+      else Set.empty
+    val pending =
+      if (done.isEmpty) bucketed
+      else bucketed.filter(!$"bucket".isin(done.toSeq: _*))
+    val pendingBuckets = (0L until nBuckets.toLong).toSet.diff(done)
 
     val prepared = saltedRepartition(pending, parts, nBuckets)
 
-    // kernel map, carrying the bucket through for the partitioned write
+    // kernel map through the Catalyst expression surface, carrying the bucket
+    // through for the partitioned write. The expression converts each
+    // ExtractedDoc to an InternalRow by hand (graft.functions.DocRow) — the
+    // generic product encoder was measured at ~10× the kernel's own CPU
+    // (tools/ProfileJob), so this one line is the difference between an
+    // encode-bound and a kernel-bound job.
     val extracted: DataFrame = prepared
-      .select($"url", $"warc_ts", $"html", $"text", $"lang", $"bucket")
-      .mapPartitions { rows =>
-        val tpl = templatesBc.value
-        rows.map { r =>
-          val doc = Extractor.extract(
-            r.getString(0), r.getAs[Array[Byte]](2), r.getString(3), r.getString(4), tpl)
-          counters.docs.add(1)
-          counters.bytes.add(doc.nBytes)
-          if (doc.failure.nonEmpty) counters.failed.add(1)
-          else if (doc.nItems == 0) counters.empty.add(1)
-          (r.getLong(5), doc)
-        }
-      }(org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong, docEnc))
-      .toDF("bucket", "doc")
+      .select(
+        graft.functions.ExtractDocExpr
+          .extractDoc($"url", $"html", $"text", $"lang", templates).as("doc"),
+        $"bucket")
       .select($"doc.*", $"bucket")
 
     // idempotent per-bucket overwrite: a recomputed bucket fully replaces its
@@ -127,7 +114,6 @@ object ExtractJob {
     // lineage from the WRITTEN data (cheap columnar count scan — no kernel
     // recompute), appended only after the docs commit
     val written = spark.read.parquet(docsPath)
-    val pendingBuckets = pending.select("bucket").distinct().as[Long].collect().toSet
     if (pendingBuckets.nonEmpty) {
       written.filter($"bucket".isin(pendingBuckets.toSeq: _*))
         .groupBy($"bucket")
@@ -140,11 +126,16 @@ object ExtractJob {
         .write.mode(SaveMode.Append).parquet(lineagePath)
     }
 
+    // metrics from the durable lineage rows of THIS run (single source of
+    // truth; no accumulator/commit race — a row is counted iff it committed)
+    val agg = spark.read.parquet(lineagePath)
+      .filter($"runId" === runId)
+      .agg(coalesce(sum($"docs"), lit(0L)), coalesce(sum($"bytes"), lit(0L)),
+        coalesce(sum($"failures"), lit(0L)), coalesce(sum($"emptyDocs"), lit(0L)))
+      .collect()(0)
     val wall = (System.nanoTime() - t0) / 1e9
-    val d = counters.docs.value
-    val b = counters.bytes.value
-    Metrics(d, b, d - counters.failed.value, counters.failed.value,
-      counters.empty.value, wall, d / wall, b / 1e6 / wall)
+    val (d, b, f, e) = (agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3))
+    Metrics(d, b, d - f, f, e, wall, d / wall, b / 1e6 / wall)
   }
 
   private def fileExists(spark: SparkSession, path: String): Boolean = {

@@ -45,14 +45,18 @@ object ExtractPipeline {
     }
 
   /** DataFrame adapter for tables matching the input_hint schema
-    * `(url string, warc_ts timestamp, html binary, text string, lang string)`. */
+    * `(url string, warc_ts timestamp, html binary, text string, lang string)`.
+    * Goes through the Catalyst expression surface with its hand-rolled
+    * InternalRow conversion ([[graft.functions.DocRow]]) — ~10× cheaper than
+    * the typed path's product encoder (tools/ProfileJob); use [[extract]]
+    * only when downstream code genuinely needs `Dataset[ExtractedDoc]`
+    * objects. */
   def extractDf(pagesDf: DataFrame,
-                templatesBc: Broadcast[Map[String, Template]]): Dataset[ExtractedDoc] = {
-    val spark = pagesDf.sparkSession
+                templates: Map[String, Template] = Vendor.builtinTemplates): DataFrame = {
     import org.apache.spark.sql.functions.col
-    extract(
-      pagesDf.select(col("url"), col("warc_ts"), col("html"), col("text"), col("lang"))
-        .as[Corpus.PageRow](pageRowEnc),
-      templatesBc)
+    pagesDf
+      .select(graft.functions.ExtractDocExpr
+        .extractDoc(col("url"), col("html"), col("text"), col("lang"), templates).as("doc"))
+      .select(col("doc.*"))
   }
 }

@@ -1,0 +1,43 @@
+package graft.tools
+
+import graft.kernel._
+
+/** Single-threaded kernel profiler: per-route docs/s and stage split.
+  * sbt -batch "runMain graft.tools.ProfileKernel [nDocs]" */
+object ProfileKernel {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 4000
+    val pages = (0L until n.toLong).map(Corpus.page(_)).toVector
+    // warmup
+    pages.take(500).foreach(p => Extractor.extract(p.url, p.html, p.text, p.lang))
+
+    val byRoute = scala.collection.mutable.Map[String, (Long, Long, Long)]() // ns, docs, bytes
+    val t0 = System.nanoTime()
+    for (p <- pages) {
+      val s = System.nanoTime()
+      val d = Extractor.extract(p.url, p.html, p.text, p.lang)
+      val dt = System.nanoTime() - s
+      val (a, b, c) = byRoute.getOrElse(d.route, (0L, 0L, 0L))
+      byRoute(d.route) = (a + dt, b + 1, c + p.html.length)
+    }
+    val total = (System.nanoTime() - t0) / 1e9
+    println(f"[profile] total: $n docs in $total%.2fs = ${n / total}%.0f docs/s single-thread")
+    byRoute.toSeq.sortBy(_._1).foreach { case (r, (ns, docs, bytes)) =>
+      println(f"[profile]   $r%-8s docs=$docs%6d  ms/doc=${ns / 1e6 / docs}%7.3f  MB=${bytes / 1e6}%8.2f  share=${ns / 1e9 / total * 100}%5.1f%%")
+    }
+
+    // stage split on the html route (dominant by count)
+    val htmlPages = pages.filter(p => !PdfLite.isPdf(p.html)).take(2000)
+    var tParse = 0L; var tRest = 0L
+    for (p <- htmlPages) {
+      val s0 = System.nanoTime()
+      val html = new String(p.html, java.nio.charset.StandardCharsets.UTF_8)
+      val root = Html.parse(html)
+      tParse += System.nanoTime() - s0
+      val s1 = System.nanoTime()
+      Html.extract(html)
+      tRest += System.nanoTime() - s1
+    }
+    println(f"[profile] html: parse-only=${tParse / 1e6 / htmlPages.size}%.3f ms/doc, full-extract=${tRest / 1e6 / htmlPages.size}%.3f ms/doc over ${htmlPages.size} docs")
+  }
+}
