@@ -72,8 +72,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nDocs = sys.env.getOrElse("GRAFT_BENCH_DOCS", "100000").toLong
-    val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "2").toInt
+    val nDocs = sys.env.getOrElse("GRAFT_BENCH_DOCS", "60000").toLong
+    val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "4").toInt
     val skipScaling = sys.env.get("GRAFT_BENCH_SKIP_SCALING").contains("1")
 
     // ---- headline queries ----

@@ -62,14 +62,24 @@ object ExtractJob {
           nBuckets: Int = 64,
           numPartitions: Int = 0,
           resume: Boolean = false,
-          templates: Map[String, Template] = Vendor.builtinTemplates): Metrics = {
+          templates: Map[String, Template] = Vendor.builtinTemplates): Metrics =
+    run(spark, pages, new ParquetTableIO(outDir), runId, nBuckets,
+      numPartitions, resume, templates)
+
+  /** As above against any [[TableIO]] backend (Iceberg drop-in point). */
+  def run(spark: SparkSession,
+          pages: DataFrame,
+          io: TableIO,
+          runId: String,
+          nBuckets: Int,
+          numPartitions: Int,
+          resume: Boolean,
+          templates: Map[String, Template]): Metrics = {
     import spark.implicits._
 
     val t0 = System.nanoTime()
     val parts = if (numPartitions > 0) numPartitions
                 else spark.sparkContext.defaultParallelism * 4
-    val docsPath = s"$outDir/docs"
-    val lineagePath = s"$outDir/lineage"
 
     val bucketed = withBucket(pages, nBuckets)
 
@@ -78,8 +88,8 @@ object ExtractJob {
     // tiny lineage table ONLY — never from a scan of the input (at 10^12 docs
     // an extra input pass just to enumerate buckets would double the job).
     val done: Set[Long] =
-      if (resume && fileExists(spark, lineagePath))
-        spark.read.parquet(lineagePath)
+      if (resume && io.lineageExists(spark))
+        io.readLineage(spark)
           .filter($"status" === "ok")
           .select("bucket").distinct().as[Long].collect().toSet
       else Set.empty
@@ -104,31 +114,27 @@ object ExtractJob {
       .select($"doc.*", $"bucket")
 
     // idempotent per-bucket overwrite: a recomputed bucket fully replaces its
-    // directory; untouched buckets stay
-    extracted.write
-      .mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket")
-      .parquet(docsPath)
+    // partition; untouched buckets stay
+    io.writeDocs(extracted)
 
     // lineage from the WRITTEN data (cheap columnar count scan — no kernel
     // recompute), appended only after the docs commit
-    val written = spark.read.parquet(docsPath)
+    val written = io.readDocs(spark)
     if (pendingBuckets.nonEmpty) {
-      written.filter($"bucket".isin(pendingBuckets.toSeq: _*))
-        .groupBy($"bucket")
-        .agg(count(lit(1)).as("docs"), sum($"nBytes").as("bytes"),
-          sum(when($"failure" =!= "", 1L).otherwise(0L)).as("failures"),
-          sum(when($"failure" === "" && $"nItems" === 0, 1L).otherwise(0L)).as("emptyDocs"))
-        .withColumn("runId", lit(runId))
-        .withColumn("status", lit("ok"))
-        .select("runId", "bucket", "docs", "bytes", "failures", "emptyDocs", "status")
-        .write.mode(SaveMode.Append).parquet(lineagePath)
+      io.appendLineage(
+        written.filter($"bucket".isin(pendingBuckets.toSeq: _*))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("docs"), sum($"nBytes").as("bytes"),
+            sum(when($"failure" =!= "", 1L).otherwise(0L)).as("failures"),
+            sum(when($"failure" === "" && $"nItems" === 0, 1L).otherwise(0L)).as("emptyDocs"))
+          .withColumn("runId", lit(runId))
+          .withColumn("status", lit("ok"))
+          .select("runId", "bucket", "docs", "bytes", "failures", "emptyDocs", "status"))
     }
 
     // metrics from the durable lineage rows of THIS run (single source of
     // truth; no accumulator/commit race — a row is counted iff it committed)
-    val agg = spark.read.parquet(lineagePath)
+    val agg = io.readLineage(spark)
       .filter($"runId" === runId)
       .agg(coalesce(sum($"docs"), lit(0L)), coalesce(sum($"bytes"), lit(0L)),
         coalesce(sum($"failures"), lit(0L)), coalesce(sum($"emptyDocs"), lit(0L)))
@@ -136,10 +142,5 @@ object ExtractJob {
     val wall = (System.nanoTime() - t0) / 1e9
     val (d, b, f, e) = (agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3))
     Metrics(d, b, d - f, f, e, wall, d / wall, b / 1e6 / wall)
-  }
-
-  private def fileExists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 }

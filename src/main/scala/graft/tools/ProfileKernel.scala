@@ -39,5 +39,28 @@ object ProfileKernel {
       tRest += System.nanoTime() - s1
     }
     println(f"[profile] html: parse-only=${tParse / 1e6 / htmlPages.size}%.3f ms/doc, full-extract=${tRest / 1e6 / htmlPages.size}%.3f ms/doc over ${htmlPages.size} docs")
+
+    // raw-thread scaling (no Spark): each thread runs the full gen+extract
+    // chain over its own index range; measures kernel allocation contention
+    for (threads <- Seq(1, 2, 4, 8, 16)) {
+      val per = n / threads
+      val t1 = System.nanoTime()
+      val ts = (0 until threads).map { t =>
+        val th = new Thread(() => {
+          var i = t.toLong * per
+          val end = i + per
+          while (i < end) {
+            val p = Corpus.page(i)
+            Extractor.extract(p.url, p.html, p.text, p.lang)
+            i += 1
+          }
+        })
+        th.start(); th
+      }
+      ts.foreach(_.join())
+      val wall = (System.nanoTime() - t1) / 1e9
+      val rate = threads * per / wall
+      println(f"[profile] raw-threads=$threads%2d  ${rate}%8.0f docs/s  (${rate / threads}%7.0f /thread)")
+    }
   }
 }
