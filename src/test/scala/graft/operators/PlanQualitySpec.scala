@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkEntry
+import graft.spark.SparkTestBase
+
+/** Physical-plan regression gate: the catalog queries must keep the plans
+  * they were designed for — filters pushed to the parquet scan, columns
+  * pruned, dimensions broadcast, global top-k as TakeOrdered (no full sort),
+  * windows partitioned not global. A refactor that silently turns a
+  * broadcast join into a sort-merge join or un-pushes a filter fails here,
+  * not at 100 TB.
+  */
+class PlanQualitySpec extends SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q2_filter: predicates reach the parquet scan, schema pruned") {
+    val p = plan("q2_filter")
+    assert(p.contains("PushedFilters:"), "no pushed filters in scan")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("IsNotNull(l_shipdate"),
+      s"shipdate predicate not pushed:\n$p")
+    // projection pruning: the scan must NOT read l_tax / l_linenumber
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_tax") && !readSchema.contains("l_linenumber"),
+      s"scan reads unneeded columns: $readSchema")
+  }
+
+  test("q3_join_broadcast: both dimension joins are broadcast, no shuffle of dims") {
+    val p = plan("q3_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dimension join degraded to SMJ:\n$p")
+  }
+
+  test("q4/q5: semi and anti joins stay semi/anti (no materialized inner join)") {
+    assert(plan("q4_semi_join").contains("LeftSemi"))
+    assert(plan("q5_anti_join").contains("LeftAnti"))
+  }
+
+  test("q8_sort_limit: global top-k is TakeOrdered, not a full sort") {
+    val p = plan("q8_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k plans a full sort:\n$p")
+  }
+
+  test("q6_topk_window: window is partitioned by nation (no single-partition window)") {
+    val p = plan("q6_topk_window")
+    assert(p.contains("Window"), p)
+    assert(p.contains("hashpartitioning(s_nationkey"), s"window not partitioned:\n$p")
+  }
+
+  test("q1_agg: aggregation is two-phase (partial before shuffle)") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+  }
+
+  test("q22_cosine_topk: query vector is broadcast, corpus side not shuffled") {
+    val p = plan("q22_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query vector not broadcast:\n$p")
+  }
+
+  test("extraction job plan: single narrow map over the scan, one shuffle (salt)") {
+    import org.apache.spark.sql.functions.col
+    val pages = graft.spark.ExtractPipeline.pages(spark, 100).toDF()
+    val prepared = graft.spark.ExtractJob.saltedRepartition(
+      graft.spark.ExtractJob.withBucket(pages, 8), 16, 8)
+    val extracted = graft.spark.ExtractPipeline.extractDf(prepared)
+    val p = extracted.queryExecution.executedPlan.toString
+    val shuffles = "Exchange".r.findAllIn(p).length
+    assert(shuffles == 1, s"extraction path must have exactly the salt shuffle, got $shuffles:\n$p")
+  }
+}
