@@ -72,7 +72,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nDocs = sys.env.getOrElse("GRAFT_BENCH_DOCS", "60000").toLong
+    val nDocs = sys.env.getOrElse("GRAFT_BENCH_DOCS", "120000").toLong
     val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "4").toInt
     val skipScaling = sys.env.get("GRAFT_BENCH_SKIP_SCALING").contains("1")
 
@@ -120,9 +120,27 @@ object Bench {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     }
 
+    // ---- byte-identical pass rate: distributed extraction vs the
+    // single-threaded kernel oracle, per url (the metric's correctness term) ----
+    val passRate = {
+      val s = session(cpus)
+      try {
+        val nCheck = 4000L
+        val got = ExtractPipeline.extractDf(ExtractPipeline.pages(s, nCheck).toDF())
+          .select("url", "extractedText").collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+        val ok = (0L until nCheck).count { i =>
+          val p = graft.kernel.Corpus.page(i)
+          got.get(p.url).contains(
+            graft.kernel.Extractor.extract(p.url, p.html, p.text, p.lang).extractedText)
+        }
+        ok.toDouble / nCheck
+      } finally s.stop()
+    }
+
     val qs = times.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = times.values.filter(_ >= 0).sum
     println(
-      f"""{"metric":"headline_queries_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_scaling":$scalingJson}""")
+      f"""{"metric":"headline_queries_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","byte_identical_pass_rate":$passRate%.4f,"extract_scaling":$scalingJson}""")
   }
 }

@@ -82,6 +82,10 @@ object Extractor {
     } catch {
       case e: Exception =>
         ExtractedDoc.failed(url, nBytes, s"parse_error:${e.getClass.getSimpleName}")
+      case e: StackOverflowError =>
+        // defense-in-depth behind Html.MaxDepth: a hostile payload must cost
+        // a taxonomy row, never a task (at 10^12 docs every shape occurs)
+        ExtractedDoc.failed(url, nBytes, "parse_error:StackOverflowError")
     }
   }
 

@@ -65,6 +65,10 @@ object Html {
     out.toString
   }
 
+  /** Maximum DOM depth; deeper open tags become siblings-of-content rather
+    * than children (bounds stack use of all recursive walks). */
+  val MaxDepth = 200
+
   /** Tolerant stack-based parse. Skips comments, doctype, script/style/CDATA.
     * Mismatched close tags pop to the nearest matching open (or are dropped). */
   def parse(html: String): Elem = {
@@ -117,7 +121,13 @@ object Html {
                   if (gt < 0) n else gt + 1
                 }
               } else {
-                if (!selfClose && !voidElems.contains(name)) stack.push(el)
+                // depth cap: a crawled page can nest tags thousands deep
+                // (adversarially or by broken markup); past MaxDepth the tag's
+                // children attach to the current node instead of recursing —
+                // keeps every recursive walk (stats/serialize/tableCells)
+                // stack-safe without losing the text content
+                if (!selfClose && !voidElems.contains(name) &&
+                    stack.size < MaxDepth) stack.push(el)
                 i = end + 1
               }
             } else i = end + 1

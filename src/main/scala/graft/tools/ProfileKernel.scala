@@ -40,6 +40,31 @@ object ProfileKernel {
     }
     println(f"[profile] html: parse-only=${tParse / 1e6 / htmlPages.size}%.3f ms/doc, full-extract=${tRest / 1e6 / htmlPages.size}%.3f ms/doc over ${htmlPages.size} docs")
 
+    // sub-stage split for the pdf routes
+    val pdfPages = pages.filter(p => PdfLite.isPdf(p.html)).take(2000)
+    var tP = 0L; var tV = 0L; var tS = 0L; var tQ = 0L
+    val slicer = new Slicer(defaultRowThreshold = Extractor.PipelineRowThreshold)
+    val checker = new QualityChecker()
+    val templates = Vendor.builtinTemplates
+    val kw = templates.keys.toVector.sorted.map(v => v -> Vector(v))
+    for (p <- pdfPages) {
+      var s = System.nanoTime()
+      val parsed = PdfLite.parse(p.html)
+      tP += System.nanoTime() - s
+      s = System.nanoTime()
+      val vendor = Vendor.detectVendor(parsed.items, kw)
+      tV += System.nanoTime() - s
+      val tpl = vendor.flatMap(v => Vendor.getTemplate(v, templates))
+      s = System.nanoTime()
+      val cells = tpl.map(t => slicer.sliceToTable(parsed.items, t.tableBox, t.columns, page = Some(1)))
+      tS += System.nanoTime() - s
+      s = System.nanoTime()
+      cells.foreach(c => checker.checkExtraction(c, parsed.items))
+      tQ += System.nanoTime() - s
+    }
+    val nn = pdfPages.size
+    println(f"[profile] pdf stages ms/doc: parse=${tP / 1e6 / nn}%.3f vendor=${tV / 1e6 / nn}%.3f slice=${tS / 1e6 / nn}%.3f quality=${tQ / 1e6 / nn}%.3f")
+
     // raw-thread scaling (no Spark): each thread runs the full gen+extract
     // chain over its own index range; measures kernel allocation contention
     for (threads <- Seq(1, 2, 4, 8, 16)) {
