@@ -61,6 +61,33 @@ class PlanQualitySpec extends SparkTestBase {
       s"query vector not broadcast:\n$p")
   }
 
+  test("q31_asof_join: single shuffle on the join key, windowed (no range explosion)") {
+    val p = plan("q31_asof_join")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of degenerated to a product join:\n$p")
+  }
+
+  test("salted repartition spreads giant-doc bytes evenly across tasks") {
+    import org.apache.spark.sql.functions._
+    // corpus plants one ~70x giant per 1000 docs; without salting these
+    // cluster and one task tail-drags the stage
+    val pages = graft.spark.ExtractPipeline.pages(spark, 12000).toDF()
+    val prepared = graft.spark.ExtractJob.saltedRepartition(
+      graft.spark.ExtractJob.withBucket(pages, 16), 48, 16)
+    val sizes = prepared
+      .select(spark_partition_id().as("pid"), length(col("html")).as("b"))
+      .groupBy(col("pid")).agg(sum(col("b")).as("bytes"))
+      .collect().map(_.getLong(1))
+    // hashing (bucket, salt) combos into partitions leaves some empty
+    // (balls-in-bins); the guard is about the LOADED partitions: no task
+    // may dominate the stage even with the planted ~70x giant documents
+    assert(sizes.length >= 24, s"too few loaded partitions: ${sizes.length}")
+    val avg = sizes.sum.toDouble / sizes.length
+    assert(sizes.max < 3.0 * avg,
+      s"skewed partitions: max=${sizes.max} avg=$avg (${sizes.sorted.mkString(",")})")
+  }
+
   test("extraction job plan: single narrow map over the scan, one shuffle (salt)") {
     import org.apache.spark.sql.functions.col
     val pages = graft.spark.ExtractPipeline.pages(spark, 100).toDF()
