@@ -67,7 +67,7 @@ object Bench {
     "q6_topk_window", "q9_median", "q11_sessionize", "q12_time_window",
     "q14_token_stats", "q16_quality_score", "q19_dedup_ngram",
     "q20_minhash_lsh", "q21_simhash", "q22_cosine_topk", "q24_emb_neardup",
-    "q25_extract_rollup")
+    "q25_extract_rollup", "q31_asof_join", "q35_moments", "q36_term_freq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

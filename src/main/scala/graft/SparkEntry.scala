@@ -21,9 +21,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextOps.queries ++ DedupOps.queries ++
-      EmbeddingOps.queries ++ ExtractOps.queries ++ Advanced.queries
+      EmbeddingOps.queries ++ ExtractOps.queries ++ Advanced.queries ++ Stats.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextOps.oracles ++ DedupOps.oracles ++
-      EmbeddingOps.oracles ++ ExtractOps.oracles ++ Advanced.oracles
+      EmbeddingOps.oracles ++ ExtractOps.oracles ++ Advanced.oracles ++ Stats.oracles
 }
