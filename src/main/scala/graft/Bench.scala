@@ -9,13 +9,17 @@ import graft.spark.{ExtractJob, ExtractPipeline}
   *    runs sf0.1) at `SPARK_GRAFT_CPUS` (default 32) threads;
   *  - the extraction job (ExtractJob.run end-to-end: salted repartition →
   *    kernel → partitioned parquet + lineage) at TWO parallelism levels
-  *    (local[8] vs local[32] on the same deterministic corpus) with docs/s,
-  *    MB/s and scaling efficiency = (rate_32 / rate_8) / (32/8) — the
-  *    sandbox evidence mode for the north rule's N→4N criterion
-  *    (BASELINE.json: efficiency >= 0.8).
+  *    (local[N] vs local[4N], default N=2, interleaved best-of-reps — see
+  *    the scaling section below and BASELINE.md) with docs/s, MB/s and
+  *    scaling efficiency = (rate_4N / rate_N) / 4 — the sandbox evidence
+  *    mode for the north rule's N→4N criterion (efficiency >= 0.8), plus a
+  *    local[32] peak-throughput run;
+  *  - the byte-identical pass rate of distributed extraction vs the
+  *    single-threaded kernel oracle.
   *
   * Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, GRAFT_BENCH_DOCS
-  * (extraction corpus size, default 100000), GRAFT_BENCH_REPS (default 2), GRAFT_BENCH_SKIP_SCALING=1.
+  * (default 120000), GRAFT_BENCH_REPS (4), GRAFT_BENCH_N (2),
+  * GRAFT_BENCH_SKIP_SCALING=1.
   */
 object Bench {
 

@@ -106,14 +106,37 @@ final class QualityChecker(
   }
 
   /** A6 — text coverage: |words(table) ∩ words(items)| / |words(items)|,
-    * set semantics, lower-cased, CPython whitespace split, quality.py:203-223. */
+    * set semantics, lower-cased, CPython whitespace split, quality.py:203-223.
+    * (java.util.HashSet + streaming split: membership-only sets, same values
+    * as the immutable-Set formulation at a fraction of the allocation.) */
   def checkCoverage(cells: Vector[Vector[String]], extracted: Seq[TextItem]): Double = {
-    val tableWords: Set[String] =
-      cells.iterator.flatten.flatMap(c => Py.split(c.toLowerCase)).toSet
-    val origWords: Set[String] =
-      extracted.iterator.flatMap(i => Py.split(i.text.toLowerCase)).toSet
+    val tableWords = new java.util.HashSet[String]()
+    cells.foreach(_.foreach(c => addWords(c, tableWords)))
+    val origWords = new java.util.HashSet[String]()
+    extracted.foreach(i => addWords(i.text, origWords))
     if (origWords.isEmpty) 0.0
-    else (tableWords & origWords).size.toDouble / origWords.size
+    else {
+      var inter = 0
+      val it = origWords.iterator()
+      while (it.hasNext) if (tableWords.contains(it.next())) inter += 1
+      inter.toDouble / origWords.size
+    }
+  }
+
+  /** Lower-case + CPython whitespace-split `s` straight into `sink`. */
+  private def addWords(s0: String, sink: java.util.HashSet[String]): Unit = {
+    if (s0 == null) return
+    val s = s0.toLowerCase
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && Py.isSpace(s.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !Py.isSpace(s.charAt(i))) i += 1
+        sink.add(s.substring(start, i))
+      }
+    }
   }
 
   /** A7 — per-column logical type by 70% majority, priority
@@ -121,25 +144,75 @@ final class QualityChecker(
   def inferColumnTypes(cells: Vector[Vector[String]]): Vector[String] = {
     val nCols = cells.head.length
     (0 until nCols).map { c =>
-      val colData = cells.iterator.map(_(c)).filter(v => v != null && v != "").toVector
-      if (colData.isEmpty) "empty"
-      else {
-        var numeric = 0; var currency = 0; var date = 0
-        for (v <- colData) {
+      var nData = 0
+      var numeric = 0; var currency = 0; var date = 0
+      var r = 0
+      while (r < cells.length) {
+        val v = cells(r)(c)
+        if (v != null && v != "") {
+          nData += 1
           val s = Py.strip(v)
-          if (s.exists(ch => ch == '$' || ch == '£' || ch == '€' || ch == '¥')) currency += 1
-          else if (Py.isDigit(s.replace(",", "").replace(".", "").replace("-", ""))) numeric += 1
-          else if (s.contains('/') || s.contains('-')) {
-            val parts = s.replace('/', '-').split("-", -1)
-            if (parts.length == 3 && parts.forall(Py.isDigit)) date += 1
-          }
+          if (hasCurrencyChar(s)) currency += 1
+          else if (isNumericShape(s)) numeric += 1
+          else if (isDateShape(s)) date += 1
         }
-        val total = colData.length.toDouble
+        r += 1
+      }
+      if (nData == 0) "empty"
+      else {
+        val total = nData.toDouble
         if (currency / total > 0.7) "currency"
         else if ((numeric + currency) / total > 0.7) "numeric"
         else if (date / total > 0.7) "date"
         else "text"
       }
     }.toVector
+  }
+
+  private def hasCurrencyChar(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '$' || ch == '£' || ch == '€' || ch == '¥') return true
+      i += 1
+    }
+    false
+  }
+
+  /** ≡ `Py.isDigit(s.replace(",","").replace(".","").replace("-",""))`
+    * without the three intermediate strings: every char is a digit or one of
+    * `, . -`, and at least one digit exists. */
+  private def isNumericShape(s: String): Boolean = {
+    var digits = 0
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (Character.isDigit(ch)) digits += 1
+      else if (ch != ',' && ch != '.' && ch != '-') return false
+      i += 1
+    }
+    digits > 0
+  }
+
+  /** ≡ `parts = s.replace('/','-').split("-",-1); parts.length==3 &&
+    * parts.forall(Py.isDigit)` without allocating: exactly two separators
+    * (either `/` or `-`) and each of the 3 segments nonempty all-digits. */
+  private def isDateShape(s: String): Boolean = {
+    if (s.indexOf('/') < 0 && s.indexOf('-') < 0) return false
+    var seps = 0
+    var segLen = 0
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '/' || ch == '-') {
+        if (segLen == 0) return false // empty segment → Py.isDigit("") false
+        seps += 1
+        if (seps > 2) return false
+        segLen = 0
+      } else if (Character.isDigit(ch)) segLen += 1
+      else return false
+      i += 1
+    }
+    seps == 2 && segLen > 0
   }
 }

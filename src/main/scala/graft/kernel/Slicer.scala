@@ -109,14 +109,17 @@ final class Slicer(
     val rows = Vector.newBuilder[Vector[TextItem]]
     var currentRow = mutable.ArrayBuffer(sorted.head)
     var currentRowY: Double = sorted.head.y.toDouble
+    // Running sums ≡ the reference's per-append fresh sums (slicer.py:168-169):
+    // members are only appended at the end, so incremental accumulation
+    // performs the identical addition sequence → bit-identical doubles,
+    // without the O(rowLen²) rescan.
+    var totalWidth: Double = sorted.head.width
+    var weighted: Double = sorted.head.y.toDouble * sorted.head.width
     for (item <- sorted.tail) {
       if (math.abs(item.y - currentRowY) <= rowThreshold) {
         currentRow += item
-        // identical accumulation order to slicer.py:168-169 (sum over members)
-        var totalWidth = 0.0
-        var weighted = 0.0
-        for (i <- currentRow) { totalWidth += i.width }
-        for (i <- currentRow) { weighted += i.y.toDouble * i.width }
+        totalWidth += item.width
+        weighted += item.y.toDouble * item.width
         // CPython raises ZeroDivisionError when a row holds only zero-width
         // items (slicer.py:169); Scala 0.0/0.0 would silently NaN. Mirror the
         // raise — upstream turns it into a failure-taxonomy row.
@@ -127,6 +130,8 @@ final class Slicer(
         rows += currentRow.toVector
         currentRow = mutable.ArrayBuffer(item)
         currentRowY = item.y.toDouble
+        totalWidth = item.width
+        weighted = item.y.toDouble * item.width
       }
     }
     if (currentRow.nonEmpty) rows += currentRow.toVector
