@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import OpsCommon._
 
 /** Similarity search over the `embeddings` table (`vec_id, embedding:
@@ -127,13 +128,82 @@ object EmbeddingOps {
        |WHERE sim >= 0.25
        |ORDER BY label, id_a, id_b""".stripMargin
 
+  val IvfSeeds = 16
+  val IvfProbes = 2
+
+  /** Squared L2 distance, left-to-right fold (deterministic). */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  private def l2sqSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), x -> (x[1]-x[2])*(x[1]-x[2])))"
+
+  /** q37_ann_ivf — IVF-style ANN: the first [[IvfSeeds]] vectors act as
+    * fixed coarse centroids (deterministic "training", so the DuckDB oracle
+    * reproduces the index bit-for-bit); every vector is assigned to its
+    * nearest centroid (ties → smaller centroid id), the query probes its
+    * [[IvfProbes]] nearest cells, and candidates in those cells are ranked
+    * by true cosine. At corpus scale the centroid table stays broadcast
+    * (k-means output, KBs) and the only shuffle is the cell-id join —
+    * the same dataflow as a production IVF index. */
+  def q37AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = embDocs(spark, dir)
+    val seeds = e.filter(col("vec_id") < IvfSeeds)
+      .select(col("vec_id").as("seed_id"), col("v").as("sv"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist").asc, col("seed_id").asc)
+    val assigned = e
+      .crossJoin(broadcast(seeds))
+      .withColumn("dist", l2sq(col("v"), col("sv")))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("seed_id").as("cell"))
+    val qCells = assigned.filter(col("vec_id") === 0)
+      .crossJoin(broadcast(seeds))
+      .withColumn("dist", l2sq(col("v"), col("sv")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("seed_id").asc)))
+      .filter(col("rk") <= IvfProbes)
+      .select(col("seed_id").as("probe_cell"), col("v").as("qv"), col("nrm").as("qn"))
+    assigned.filter(col("vec_id") =!= 0)
+      .join(broadcast(qCells), col("cell") === col("probe_cell"))
+      .withColumn("sim", cosPre(col("v"), col("qv"), col("nrm"), col("qn")))
+      .select(col("vec_id"), col("cell"), col("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(5)
+  }
+
+  val q37AnnIvfSql: String =
+    s"""WITH e AS ($embSql),
+       |seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e WHERE vec_id < $IvfSeeds),
+       |assigned AS (
+       |  SELECT vec_id, label, v, nrm, seed_id AS cell FROM (
+       |    SELECT e.vec_id, e.label, e.v, e.nrm, s.seed_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${l2sqSql("e.v", "s.sv")} ASC, s.seed_id ASC) AS rk
+       |    FROM e CROSS JOIN seeds s) WHERE rk = 1),
+       |qcells AS (
+       |  SELECT q.seed_id AS probe_cell, q.qv, q.qn FROM (
+       |    SELECT e0.qv, e0.qn, s.seed_id,
+       |      row_number() OVER (
+       |        ORDER BY ${l2sqSql("e0.qv", "s.sv")} ASC, s.seed_id ASC) AS rk
+       |    FROM (SELECT v AS qv, nrm AS qn FROM assigned WHERE vec_id = 0) e0
+       |    CROSS JOIN seeds s) q
+       |  WHERE q.rk <= $IvfProbes)
+       |SELECT a.vec_id, a.cell, ${cosPreSql("a.v", "qv", "a.nrm", "qn")} AS sim
+       |FROM assigned a JOIN qcells ON a.cell = probe_cell
+       |WHERE a.vec_id <> 0
+       |ORDER BY sim DESC, a.vec_id ASC LIMIT 5""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_cosine_topk" -> (q22CosineTopk _),
     "q23_ann_lsh" -> (q23AnnLsh _),
-    "q24_emb_neardup" -> (q24EmbNeardup _))
+    "q24_emb_neardup" -> (q24EmbNeardup _),
+    "q37_ann_ivf" -> (q37AnnIvf _))
 
   def oracles: Map[String, String] = Map(
     "q22_cosine_topk" -> q22CosineTopkSql,
     "q23_ann_lsh" -> q23AnnLshSql,
-    "q24_emb_neardup" -> q24EmbNeardupSql)
+    "q24_emb_neardup" -> q24EmbNeardupSql,
+    "q37_ann_ivf" -> q37AnnIvfSql)
 }
