@@ -130,3 +130,59 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 }
+
+/** Fuzz breadth over the two payload parsers: arbitrary bytes/strings must
+  * never escape the extractor as exceptions, and identical input must give
+  * identical output (the two invariants that survive any input at 10^12
+  * docs). Complements AdversarialInputSpec's targeted cases. */
+class ParserFuzzSpec extends AnyFunSuite {
+
+  private def rngBytes(rng: java.util.Random, n: Int): Array[Byte] = {
+    val a = new Array[Byte](n); rng.nextBytes(a); a
+  }
+
+  test("random bytes: extract never throws, always deterministic") {
+    val rng = new java.util.Random(0xF00DL)
+    for (i <- 0 until 300) {
+      val b = rngBytes(rng, rng.nextInt(2000))
+      val d1 = Extractor.extract(s"u$i", b, "", "en")
+      val d2 = Extractor.extract(s"u$i", b, "", "en")
+      assert(d1 == d2)
+    }
+  }
+
+  test("random bytes behind a %PDF magic: PdfLite degrades, never throws") {
+    val rng = new java.util.Random(0xBEEFL)
+    for (i <- 0 until 300) {
+      val body = rngBytes(rng, rng.nextInt(2000))
+      val b = "%PDF-1.4\n".getBytes("UTF-8") ++ body
+      val d = Extractor.extract(s"p$i", b, "", "en")
+      assert(d.route == "native" || d.route == "scanned" || d.failure.nonEmpty)
+    }
+  }
+
+  test("random tag soup: Html.parse is total and depth-bounded") {
+    val rng = new java.util.Random(0xCAFEL)
+    val frags = Array("<div>", "</div>", "<p ", ">", "txt ", "<a href=x>", "</a",
+      "<table><tr><td>", "&amp;", "&#x", "<!--", "-->", "<![CDATA[", "]]>",
+      "<script>", "</script>", "<", ">", "\"", "'", "=", "<br/>", "</b></i>")
+    for (_ <- 0 until 300) {
+      val sb = new StringBuilder
+      for (_ <- 0 until rng.nextInt(200)) sb.append(frags(rng.nextInt(frags.length)))
+      val html = sb.toString
+      val r1 = Html.extract(html)
+      val r2 = Html.extract(html)
+      assert(r1 == r2)
+    }
+  }
+
+  test("multimodal decode is total on random bytes") {
+    val rng = new java.util.Random(0xD00DL)
+    for (i <- 0 until 200) {
+      val b = rngBytes(rng, rng.nextInt(600))
+      val m = Multimodal.decode(i, b)
+      assert(m.mediaId == i)
+      assert(m == Multimodal.decode(i, b))
+    }
+  }
+}
