@@ -103,7 +103,7 @@ object Bench {
     // measurement reflects the job's actual scaling behavior. A 32-thread
     // run is still reported as peak single-node throughput.
     var scalingJson = "null"
-    if (!skipScaling) {
+    if (!skipScaling) try {
       val tmp = java.nio.file.Files.createTempDirectory("graft_bench").toString
       val n = sys.env.getOrElse("GRAFT_BENCH_N", "2").toInt
       val (allLo, allHi) = scalingRuns(n, 4 * n, nDocs, tmp, reps)
@@ -122,11 +122,16 @@ object Bench {
         f""""peak32_docs_per_sec":${m32.docsPerSec}%.1f,"peak32_mb_per_sec":${m32.mbPerSec}%.2f,""" +
         f""""scaling_efficiency":$eff%.3f}"""
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    } catch {
+      case e: Throwable =>
+        // a failed scaling pass must not cost the whole bench line
+        System.err.println(s"[bench] scaling runs failed: ${e.getMessage}")
+        scalingJson = "null"
     }
 
     // ---- byte-identical pass rate: distributed extraction vs the
     // single-threaded kernel oracle, per url (the metric's correctness term) ----
-    val passRate = {
+    val passRate = try {
       val s = session(cpus)
       try {
         val nCheck = 4000L
@@ -140,6 +145,10 @@ object Bench {
         }
         ok.toDouble / nCheck
       } finally s.stop()
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] pass-rate check failed: ${e.getMessage}")
+        -1.0
     }
 
     val qs = times.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
