@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.types.DataType
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.unsafe.types.UTF8String
 import graft.kernel.{Extractor, Template, Vendor}
@@ -25,13 +26,37 @@ case class ExtractDocExpr(children: Seq[Expression],
 
   require(children.length == 4, "extract_doc(url, html, text, lang)")
 
+  /** Analysis-time input contract: misuse (e.g. an int html column) fails in
+    * the analyzer, not as a per-row ClassCastException at runtime. The html
+    * payload may be BINARY or STRING (a crawler table may store markup either
+    * way; eval handles both representations). */
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val expected = Seq[(String, Set[DataType])](
+      "url" -> Set(StringType), "html" -> Set(BinaryType, StringType),
+      "text" -> Set(StringType), "lang" -> Set(StringType))
+    children.zip(expected).zipWithIndex.collectFirst {
+      case ((c, (argName, ok)), i) if !ok.contains(c.dataType) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"extract_doc argument $i ($argName) must be ${ok.map(_.sql).mkString(" or ")}, " +
+          s"got ${c.dataType.sql}")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+  }
+
   override def dataType: DataType = DocRow.schema
   override def nullable: Boolean = true
 
   override def eval(input: InternalRow): Any = {
     val u = children(0).eval(input)
     if (u == null) return null
-    val html = children(1).eval(input).asInstanceOf[Array[Byte]]
+    // defense-in-depth below the analyzer's cast: accept either binary or
+    // string payloads (a hand-built plan can bypass ImplicitCastInputTypes)
+    val html = children(1).eval(input) match {
+      case b: Array[Byte] => b
+      case s: UTF8String => s.getBytes
+      case null => null
+      case other => throw new IllegalArgumentException(
+        s"extract_doc: html must be BINARY or STRING, got ${other.getClass.getName}")
+    }
     val textEv = children(2).eval(input)
     val langEv = children(3).eval(input)
     val doc = Extractor.extract(

@@ -97,9 +97,9 @@ object Extractor {
       if (route == "scanned") applyScannedConfidence(url, parsed.items)
       else parsed.items // native: conf already 100, blank-stripped at parse
 
-    // A1 vendor detection keyed on the template registry's own names
-    val keywords = templates.keys.toVector.sorted.map(v => v -> Vector(v))
-    val vendor = Vendor.detectVendor(items, keywords)
+    // A1 vendor detection: registry names first, then the reference
+    // pipeline's curated keyword sets (table_slicer.py:44-52)
+    val vendor = Vendor.detectVendor(items, Vendor.registryKeywords(templates))
     val template = vendor.flatMap(v => Vendor.getTemplate(v, templates))
 
     template match {
@@ -128,12 +128,17 @@ object Extractor {
                           nBytes: Long, templates: Map[String, Template]): ExtractedDoc = {
     val html = new String(payload, StandardCharsets.UTF_8)
     val res = Html.extract(html)
-    val keywords = templates.keys.toVector.sorted.map(v => v -> Vector(v))
-    val vendor = Vendor.detectVendor(res.items, keywords)
+    val vendor = Vendor.detectVendor(res.items, Vendor.registryKeywords(templates))
     val grid =
       if (res.cells.nonEmpty) res.cells
       else res.mainText.split("\n", -1).toVector.filter(_.nonEmpty).map(Vector(_))
-    val quality = checker.checkExtraction(grid, res.items)
+    val quality0 = checker.checkExtraction(grid, res.items)
+    // surface MaxDepth flattening (Html.scala cap) instead of diverging
+    // silently on legitimately deep real-world pages
+    val quality =
+      if (res.depthCapped)
+        quality0.copy(warnings = quality0.warnings :+ "DOM depth cap reached; nesting flattened")
+      else quality0
     ExtractedDoc(url, "html", 1.0, vendor.getOrElse(""), res.mainText,
       res.cells, res.spans, quality, res.items.length, nBytes, "")
   }

@@ -71,9 +71,17 @@ object Html {
 
   /** Tolerant stack-based parse. Skips comments, doctype, script/style/CDATA.
     * Mismatched close tags pop to the nearest matching open (or are dropped). */
-  def parse(html: String): Elem = {
+  def parse(html: String): Elem = parseTracked(html)._1
+
+  /** As [[parse]], also reporting whether the [[MaxDepth]] cap flattened any
+    * nesting — the flattening silently re-parents content (a close tag whose
+    * open was dropped at the cap pops a real ancestor), so callers surface it
+    * as a quality warning instead of diverging silently on legitimately deep
+    * pages. */
+  def parseTracked(html: String): (Elem, Boolean) = {
     val root = Elem("#root", Map.empty, mutable.ArrayBuffer.empty)
     val stack = mutable.Stack(root)
+    var depthCapped = false
     var i = 0
     val n = html.length
 
@@ -126,8 +134,10 @@ object Html {
                 // children attach to the current node instead of recursing —
                 // keeps every recursive walk (stats/serialize/tableCells)
                 // stack-safe without losing the text content
-                if (!selfClose && !voidElems.contains(name) &&
-                    stack.size < MaxDepth) stack.push(el)
+                if (!selfClose && !voidElems.contains(name)) {
+                  if (stack.size < MaxDepth) stack.push(el)
+                  else depthCapped = true
+                }
                 i = end + 1
               }
             } else i = end + 1
@@ -142,7 +152,7 @@ object Html {
         i = end
       }
     }
-    root
+    (root, depthCapped)
   }
 
   private def indexOfIgnoreCase(hay: String, needle: String, from: Int): Int = {
@@ -342,14 +352,15 @@ object Html {
       mainText: String,
       cells: Vector[Vector[String]],
       spans: Vector[CellSpan],
-      items: Vector[TextItem])
+      items: Vector[TextItem],
+      depthCapped: Boolean = false)
 
   /** Full HTML extraction: parse → select main block → serialize text +
     * first table grid + synthetic-geometry spans/items (x = col·100,
     * y = row·20 — deterministic placeholders so downstream geometry consumers
     * and the quality checker have positioned items to work with). */
   def extract(html: String): HtmlResult = {
-    val root = parse(html)
+    val (root, depthCapped) = parseTracked(html)
     val main = selectMain(root).getOrElse(root)
     val text = serialize(main)
 
@@ -379,6 +390,6 @@ object Html {
       }
     } else Vector.empty)
 
-    HtmlResult(text, cells, spans.toVector, items)
+    HtmlResult(text, cells, spans.toVector, items, depthCapped)
   }
 }

@@ -108,6 +108,30 @@ object Vendor {
     "apple" -> Vector("apple", "aapl", "iphone"),
     "walmart" -> Vector("walmart", "wmt"))
 
+  /** The keyword sets the reference PIPELINE actually passes to A1
+    * (`TableSlicerPipeline.DEFAULT_VENDOR_KEYWORDS`, `table_slicer.py:44-52`,
+    * handed to `detect_vendor` at `table_slicer.py:122`). Counting lowercases
+    * both sides, so these are ported verbatim (case preserved, like the
+    * reference literal). */
+  val pipelineKeywords: Vector[(String, Vector[String])] = Vector(
+    "amazon" -> Vector("Amazon", "AWS", "Amazon Web Services", "AMZN"),
+    "google" -> Vector("Google", "GCP", "Google Cloud", "Alphabet"),
+    "microsoft" -> Vector("Microsoft", "Azure", "MSFT", "Office 365"),
+    "apple" -> Vector("Apple", "AAPL", "iTunes", "App Store"),
+    "walmart" -> Vector("Walmart", "WMT", "Sam's Club"),
+    "target" -> Vector("Target", "TGT", "Target Corporation"))
+
+  /** The keyword table [[graft.kernel.Extractor]] scores A1 against: one entry
+    * per registry vendor keyed on its own name (so drawn templates are
+    * detectable — the deliberate, tested deviation from the reference, whose
+    * registry vendors have no keyword entries at all and fall back to an
+    * interactive prompt), followed by the reference pipeline's curated sets
+    * ([[pipelineKeywords]]) with first-wins argmax preserving registry
+    * priority on ties. */
+  def registryKeywords(templates: Map[String, Template]): Vector[(String, Vector[String])] =
+    templates.keys.toVector.sorted.map(v => v -> Vector(v)) ++
+      pipelineKeywords.filterNot { case (v, _) => templates.contains(v) }
+
   /** A1 — keyword-scoring vendor detection, `detect_vendor`
     * template.py:259-306: join text of first 50 items, lower-case, score by
     * non-overlapping substring count, argmax with first-wins tie-break. */

@@ -81,6 +81,16 @@ object ExtractJob {
     val parts = if (numPartitions > 0) numPartitions
                 else spark.sparkContext.defaultParallelism * 4
 
+    // A non-resume run must start from an uncommitted output: otherwise stale
+    // buckets from a previous run (which this run's dynamic overwrite never
+    // touches) would be rolled into this run's lineage as if freshly computed,
+    // inflating metrics and poisoning future resumes. Resume is the supported
+    // way to continue into an existing outDir.
+    if (!resume && io.lineageExists(spark))
+      throw new IllegalStateException(
+        "output already has committed lineage; pass resume=true to continue " +
+        "into it, or point the job at a fresh output location")
+
     val bucketed = withBucket(pages, nBuckets)
 
     // resume: drop buckets already committed (bucket-id set is ≤ nBuckets —

@@ -89,6 +89,26 @@ class ExtractE2ESpec extends SparkTestBase {
     d2.foreach { r => assert(r.getString(1) == oracle(r.getString(0)).extractedText) }
   }
 
+  test("extract_doc rejects wrong input types at analysis time") {
+    import spark.implicits._
+    // an int html column must fail in the analyzer (AnalysisException), not
+    // as a per-row ClassCastException at runtime
+    val bad = Seq(("u", 1, "t", "en")).toDF("url", "html", "text", "lang")
+    bad.createOrReplaceTempView("bad_pages_spec")
+    val e = intercept[Exception] {
+      spark.sql("SELECT extract_doc(url, html, text, lang) FROM bad_pages_spec").collect()
+    }
+    assert(e.getMessage.contains("extract_doc argument 1 (html)"), e.getMessage)
+
+    // a STRING html column is accepted (markup stored as text)
+    val strHtml = Seq(("https://t/s", "<p>hi</p>", "", "en")).toDF("url", "html", "text", "lang")
+    strHtml.createOrReplaceTempView("str_pages_spec")
+    val rows = spark.sql(
+      "SELECT extract_doc(url, html, text, lang).extractedText FROM str_pages_spec")
+      .as[String].collect()
+    assert(rows.sameElements(Array("hi")))
+  }
+
   test("extract_doc SQL expression agrees with the typed path") {
     import spark.implicits._
     val pages = ExtractPipeline.pages(spark, 40).toDF()
