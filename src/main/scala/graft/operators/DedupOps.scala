@@ -51,12 +51,36 @@ object DedupOps {
     s"""SELECT doc_id, source, unnest(${triShinglesSql("string_split(text, ' ')")}) AS g
        |      FROM documents""".stripMargin
 
+  /** Hot-shingle guard (the 100 TB hot-key bound): shingles occurring in more
+    * than this many documents are stop-shingles — boilerplate, not signal —
+    * and are removed from the similarity universe before ANY pair work.
+    * Without it a single boilerplate trigram ("all rights reserved") shared by
+    * 10^9 docs makes its posting list quadratic. The census is one partial-agg
+    * shuffle; the hot set is tiny by construction (few shingles exceed the
+    * cap), so the removal is a BROADCAST anti-join — no shuffle of the big
+    * side beyond the census. */
+  val MaxShingleDf = 1000
+
+  /** Shingles with stop-shingles removed — the universe q19/q20 sizes,
+    * signatures, candidates and verification all agree on. */
+  private def shinglesFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val hot = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleDf).select(col("g"))
+    sh.join(broadcast(hot), Seq("g"), "left_anti")
+  }
+
+  private val shinglesFilteredSql: String =
+    s"""SELECT * FROM ($shinglesSql) sh_all
+       |      WHERE g NOT IN (SELECT g FROM ($shinglesSql)
+       |                      GROUP BY g HAVING count(*) > $MaxShingleDf)""".stripMargin
+
   /** q19_dedup_ngram — n-gram Jaccard near-dup, blocked by `source`
     * (the standard "same-domain" blocking key): inverted index on shingle →
     * pair intersection counts → Jaccard = |∩| / (|A|+|B|−|∩|). Pure integer
     * arithmetic until the final single division. */
   def q19DedupNgram(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir).cache()
+    val sh = shinglesFiltered(spark, dir).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a")
       .join(sh.as("b"),
@@ -74,7 +98,7 @@ object DedupOps {
   }
 
   val q19DedupNgramSql: String =
-    s"""WITH sh AS ($shinglesSql),
+    s"""WITH sh AS ($shinglesFilteredSql),
        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
        |pairs AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
@@ -94,9 +118,23 @@ object DedupOps {
   def permA(i: Int): Long = 2L * i + 3
   def permB(i: Int): Long = 104729L * i + 12345
 
-  /** MinHash signature per doc: min over shingles of each permuted hash. */
+  /** LSH banding: [[LshBands]] bands × [[LshRows]] minhash rows per band
+    * (b×r = MinhashPerms). A pair is a candidate iff it agrees on EVERY row of
+    * SOME band — P(candidate) = 1−(1−s^r)^b, the standard S-curve. r=2 makes
+    * candidate probability quadratic in similarity, which is what keeps the
+    * bucket self-join subquadratic at corpus scale (r=1 — "any single
+    * permutation collides" — maximizes candidates and was measured at 60% of
+    * the sf0.1 headline wall time). Recall loss at the low-similarity tail is
+    * the documented trade: the verify stage recomputes TRUE Jaccard on survivors. */
+  val LshBands = 4
+  val LshRows = 2
+  require(LshBands * LshRows == MinhashPerms, "banding must cover the signature")
+
+  /** MinHash signature per doc: min over shingles of each permuted hash.
+    * Signatures are computed over the stop-shingle-filtered universe so
+    * candidates, sizes and verification agree on one definition of "shingle". */
   private def minhashSigs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir).withColumn("h", hash31(col("g")))
+    val sh = shinglesFiltered(spark, dir).withColumn("h", hash31(col("g")))
     val aggs = (0 until MinhashPerms).map(i =>
       min((col("h") * permA(i) + permB(i)) % MinhashP).as(s"mh_$i"))
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
@@ -108,20 +146,21 @@ object DedupOps {
       .mkString(",\n         ")
     s"""SELECT doc_id,
        |         $mins
-       |  FROM (SELECT doc_id, ${hash31Sql("g")} AS h FROM ($shinglesSql))
+       |  FROM (SELECT doc_id, ${hash31Sql("g")} AS h FROM ($shinglesFilteredSql))
        |  GROUP BY 1""".stripMargin
   }
 
-  /** q20_minhash_lsh — MinHash LSH near-dup: b=8 bands × r=1 row (candidate =
-    * any colliding permutation; the right config for the low-similarity tail),
-    * candidates verified with true shingle Jaccard. The band join is the
-    * LSH-bucket join; at scale its skew is governed by band-bucket sizes, not
-    * document count. */
+  /** q20_minhash_lsh — MinHash LSH near-dup: [[LshBands]]×[[LshRows]] banding
+    * (band key = the band's r concatenated minhashes), candidates verified
+    * with true shingle Jaccard. The band join is the LSH-bucket join; at scale
+    * its skew is governed by band-bucket sizes, not document count, and r=2
+    * banding keeps those buckets sparse (see [[LshBands]]). */
   def q20MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sigs = minhashSigs(spark, dir).cache()
-    // unpivot to (doc_id, band, value) — the bucket index
-    val bandCols = (0 until MinhashPerms).flatMap(i =>
-      Seq(lit(i), col(s"mh_$i")))
+    // unpivot to (doc_id, band, bandKey) — bandKey joins the r row minhashes
+    val bandCols = (0 until LshBands).flatMap(i =>
+      Seq(lit(i), concat_ws("|",
+        (0 until LshRows).map(r => col(s"mh_${i * LshRows + r}")): _*)))
     val buckets = sigs
       .select(col("doc_id"), explode(map(bandCols: _*)).as(Seq("band", "bval")))
     val cand = buckets.as("a")
@@ -131,7 +170,7 @@ object DedupOps {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     // verify candidates with exact shingle Jaccard
-    val sh = shingles(spark, dir).select(col("doc_id"), col("g")).cache()
+    val sh = shinglesFiltered(spark, dir).select(col("doc_id"), col("g")).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = cand
       .join(sh.select(col("doc_id").as("id_a"), col("g")), "id_a")
@@ -150,8 +189,13 @@ object DedupOps {
   }
 
   val q20MinhashLshSql: String = {
-    val bandUnion = (0 until MinhashPerms)
-      .map(i => s"SELECT doc_id, $i AS band, mh_$i AS bval FROM sigs")
+    val bandUnion = (0 until LshBands)
+      .map { i =>
+        val key = (0 until LshRows)
+          .map(r => s"cast(mh_${i * LshRows + r} as varchar)")
+          .mkString(" || '|' || ")
+        s"SELECT doc_id, $i AS band, $key AS bval FROM sigs"
+      }
       .mkString("\n  UNION ALL\n  ")
     s"""WITH sigs AS (
        |$minhashSigsSql),
@@ -161,7 +205,7 @@ object DedupOps {
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM buckets a JOIN buckets b
        |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id),
-       |sh AS ($shinglesSql),
+       |sh AS ($shinglesFilteredSql),
        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
        |inter AS (
        |  SELECT id_a, id_b, count(*) AS n_inter

@@ -69,17 +69,20 @@ object EmbeddingOps {
 
   val LshDims = 4
 
-  /** Sign-LSH bucket id: 4 axis-aligned hyperplanes (dims 1..4, 1-based),
-    * bucket = Σ (v[d] > 0) << d — 16 buckets. */
-  private def lshBucket(v: Column): Column =
+  /** Sign-LSH bucket id over 4 axis-aligned hyperplanes starting at dim
+    * `offset` (0-based): bucket = Σ (v[offset+d] > 0) << d — 16 buckets. */
+  private def lshBucketAt(v: Column, offset: Int): Column =
     (0 until LshDims)
-      .map(d => when(element_at(v, d + 1) > 0.0, 1L << d).otherwise(0L))
+      .map(d => when(element_at(v, offset + d + 1) > 0.0, 1L << d).otherwise(0L))
       .reduce(_ + _)
 
-  private val lshBucketSql: String =
+  private def lshBucketSqlAt(offset: Int): String =
     (0 until LshDims)
-      .map(d => s"(CASE WHEN v[${d + 1}] > 0.0 THEN ${1L << d} ELSE 0 END)")
+      .map(d => s"(CASE WHEN v[${offset + d + 1}] > 0.0 THEN ${1L << d} ELSE 0 END)")
       .mkString(" + ")
+
+  private def lshBucket(v: Column): Column = lshBucketAt(v, 0)
+  private val lshBucketSql: String = lshBucketSqlAt(0)
 
   /** q23_ann_lsh — LSH-bucketed ANN for the query vector: candidates share
     * the query's sign-bucket (≈ n/16 of the corpus), ranked by true cosine.
@@ -103,28 +106,61 @@ object EmbeddingOps {
        |FROM e JOIN q ON bucket = qbucket WHERE vec_id <> 0
        |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin
 
-  /** q24_emb_neardup — embedding-cosine near-dup pairs within a label block:
-    * all same-label pairs with cosine ≥ 0.25 (the corpus has no planted
-    * clusters, so the threshold sits in the distribution tail — the operator
-    * semantics, not the hit-rate, are under test). */
+  /** Candidate bands for the near-dup pass: [[NeardupBands]] independent
+    * 4-hyperplane sign signatures (dims 1–4 and 5–8). A pair is a candidate
+    * iff SOME band agrees — the same b-band S-curve as MinHash LSH, here over
+    * sign bits. Recall at the 0.25 threshold is the documented trade; the
+    * exact-cosine stage verifies every surviving candidate. */
+  val NeardupBands = 2
+
+  /** q24_emb_neardup — embedding-cosine near-dup pairs within a label block,
+    * with a sign-LSH candidate stage: pairs must share a sign bucket in some
+    * band BEFORE any cosine is computed. The pair stage is bounded by
+    * (label × band × bucket) group sizes — label-block all-pairs is
+    * O(Σ|block|²) and does not survive 100× (it was 17% of the sf0.1 headline
+    * wall time); bucketed candidates keep the join sparse while band count
+    * dials recall. */
   def q24EmbNeardup(spark: SparkSession, dir: String): DataFrame = {
     val e = embDocs(spark, dir)
-    e.as("a")
-      .join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("sim", cosPre(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")))
-      .filter(col("sim") >= 0.25)
+      .withColumn("b0", lshBucketAt(col("v"), 0))
+      .withColumn("b1", lshBucketAt(col("v"), LshDims))
+      .cache()
+    val buckets = e.select(col("vec_id"), col("label"),
+      explode(map(lit(0), col("b0"), lit(1), col("b1"))).as(Seq("band", "bkt")))
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.label") === col("b.label") && col("a.band") === col("b.band") &&
+          col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.label").as("label"), col("a.vec_id").as("id_a"),
-        col("b.vec_id").as("id_b"), col("sim"))
+        col("b.vec_id").as("id_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .withColumn("sim", cosPre(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("sim") >= 0.25)
+      .select(col("label"), col("id_a"), col("id_b"), col("sim"))
       .orderBy(col("label"), col("id_a"), col("id_b"))
   }
 
   val q24EmbNeardupSql: String =
-    s"""WITH e AS ($embSql)
+    s"""WITH e AS (SELECT vec_id, label, v, nrm,
+       |    ${lshBucketSqlAt(0)} AS b0, ${lshBucketSqlAt(LshDims)} AS b1
+       |  FROM ($embSql)),
+       |buckets AS (
+       |  SELECT vec_id, label, 0 AS band, b0 AS bkt FROM e
+       |  UNION ALL
+       |  SELECT vec_id, label, 1 AS band, b1 AS bkt FROM e),
+       |cand AS (
+       |  SELECT DISTINCT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM buckets a JOIN buckets b
+       |    ON a.label = b.label AND a.band = b.band AND a.bkt = b.bkt
+       |   AND a.vec_id < b.vec_id)
        |SELECT label, id_a, id_b, sim FROM (
-       |  SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
-       |    ${cosPreSql("a.v", "b.v", "a.nrm", "b.nrm")} AS sim
-       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+       |  SELECT c.label, c.id_a, c.id_b,
+       |    ${cosPreSql("ea.v", "eb.v", "ea.nrm", "eb.nrm")} AS sim
+       |  FROM cand c JOIN e ea ON ea.vec_id = c.id_a
+       |              JOIN e eb ON eb.vec_id = c.id_b)
        |WHERE sim >= 0.25
        |ORDER BY label, id_a, id_b""".stripMargin
 

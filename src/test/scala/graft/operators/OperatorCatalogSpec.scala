@@ -100,13 +100,45 @@ class OperatorCatalogSpec extends SparkTestBase {
   test("minhash LSH candidates are a superset of high-jaccard ngram pairs") {
     import spark.implicits._
     // any pair the exact ngram query scores with jaccard >= 0.5 must be
-    // recalled by the b=8/r=1 LSH (prob 1-(1-j)^8 ≈ 1 at j>=0.5; with the
-    // deterministic corpus this is exact, not probabilistic, per run)
+    // recalled by the b=4/r=2 banding (P = 1-(1-j^2)^4; exact duplicates have
+    // identical signatures so j=1 pairs are recalled with certainty, and with
+    // the deterministic corpus the whole check is exact, not probabilistic,
+    // per run)
     val exact = SparkEntry.queries("q19_dedup_ngram")(spark, sfDir)
       .filter($"jaccard" >= 0.5).select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val lsh = SparkEntry.queries("q20_minhash_lsh")(spark, sfDir)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(exact.subsetOf(lsh), s"missed: ${exact.diff(lsh).take(5)}")
+  }
+
+  test("bucketed near-dup pairs are exact-cosine verified (subset of all-pairs)") {
+    import spark.implicits._
+    // driver-side brute force over the small sf: every q24 pair must appear in
+    // the full same-label pair set with the identical rounded cosine — the
+    // candidate stage may lose recall (documented), never precision
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"label", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      math.round(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e4) / 1e4
+    }
+    val brute = (for {
+      (ia, la, va) <- vecs; (ib, lb, vb) <- vecs
+      if la == lb && ia < ib
+    } yield (la, ia, ib) -> cos(va, vb)).toMap
+    val got = SparkEntry.queries("q24_emb_neardup")(spark, sfDir)
+      .select("label", "id_a", "id_b", "sim").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val k = (r.getInt(0), r.getLong(1), r.getLong(2))
+      val sim = r.getDouble(3)
+      assert(sim >= 0.25 && math.abs(brute(k) - sim) < 1e-9,
+        s"pair $k: got $sim, brute ${brute.get(k)}")
+    }
   }
 
   test("brute-force topk and LSH ANN agree on ranking within the query bucket") {

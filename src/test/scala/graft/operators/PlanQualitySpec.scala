@@ -61,6 +61,14 @@ class PlanQualitySpec extends SparkTestBase {
       s"query vector not broadcast:\n$p")
   }
 
+  test("q20/q24: pair stages are bucket equi-joins, never a product join") {
+    for (q <- Seq("q20_minhash_lsh", "q24_emb_neardup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q candidate stage degenerated to a product join:\n$p")
+    }
+  }
+
   test("q31_asof_join: single shuffle on the join key, windowed (no range explosion)") {
     val p = plan("q31_asof_join")
     assert(p.contains("Window"), p)
