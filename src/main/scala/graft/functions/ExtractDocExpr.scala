@@ -99,5 +99,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("extract_doc"),
       new ExpressionInfo(classOf[ExtractDocExpr].getName, "extract_doc"),
       (exprs: Seq[Expression]) => ExtractDocExpr(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("sim_ratio"),
+      new ExpressionInfo(classOf[SimRatio].getName, "sim_ratio"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "sim_ratio(a, b)")
+        SimRatio(exprs.head, exprs(1))
+      }))
   }
 }

@@ -63,23 +63,52 @@ object ExtractOps {
   }
 
   /** q28_fuzzy_match — J2: Ratcliff-Obershelp fuzzy template lookup
-    * (difflib-parity kernel [[graft.kernel.SeqMatcher]]) as a similarity
-    * theta-join: misspelled vendor strings resolved against the registry at
-    * cutoff 0.8 (`template.py:189-193`). */
+    * (difflib-parity expression [[graft.functions.SimRatio]], SURVEY §7.4) as
+    * a similarity theta-join: misspelled vendor strings scored against the
+    * (broadcast) registry, `difflib.get_close_matches(n=1, cutoff=0.8)`
+    * semantics reproduced relationally — filter ratio ≥ 0.8, per-probe argmax
+    * with difflib's nlargest tie-break (higher ratio, then lexicographically
+    * larger vendor). No UDF: the plan is crossJoin(broadcast) → expression →
+    * partitioned window, which at a 10^6-probe batch scales as
+    * |probes|×|registry| narrow work with the registry broadcast. */
   def q28FuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val vendors = Vendor.builtinTemplates.keys.toVector.sorted
+    import graft.functions.SimRatio
+    import org.apache.spark.sql.expressions.Window
+    val vendors = Vendor.builtinTemplates.keys.toVector.sorted.toDF("vendor")
     val probes = Seq("newark", "newrak", "nework", "sysco", "syscoo", "scysco",
       "test", "tets", "driscoll", "amazn").toDF("probe")
-    val matchUdf = udf((s: String) =>
-      SeqMatcher.getCloseMatches(s, vendors, n = 1, cutoff = 0.8).headOption.getOrElse(""))
-    val ratioUdf = udf((s: String, v: String) =>
-      if (v.isEmpty) 0.0 else math.floor(SeqMatcher.ratio(s, v) * 1e6) / 1e6)
-    probes
-      .withColumn("matched", matchUdf(col("probe")))
-      .withColumn("ratio", ratioUdf(col("probe"), col("matched")))
+    // difflib scores ratio(possibility, word) — argument order preserved
+    val scored = probes.crossJoin(broadcast(vendors))
+      .withColumn("r", SimRatio.column(col("vendor"), col("probe")))
+      .filter(col("r") >= 0.8)
+    val w = Window.partitionBy(col("probe")).orderBy(col("r").desc, col("vendor").desc)
+    val best = scored
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("probe"), col("vendor").as("matched"),
+        (floor(SimRatio.column(col("probe"), col("vendor")) * 1e6) / 1e6).as("ratio"))
+    probes.join(best, Seq("probe"), "left")
+      .na.fill("", Seq("matched")).na.fill(0.0, Seq("ratio"))
       .orderBy(col("probe"))
   }
+
+  /** q28 oracle: expected rows computed by CPython difflib itself (same
+    * probes/registry; `difflib.get_close_matches(p, vendors, 1, 0.8)` +
+    * `floor(SequenceMatcher(None, p, m).ratio()*1e6)/1e6`) — a literal
+    * cross-engine gate for an operator ANSI SQL cannot express. */
+  val q28FuzzyMatchSql: String =
+    """SELECT probe, matched, ratio FROM (VALUES
+      |  ('amazn', '', 0.0),
+      |  ('driscoll', '', 0.0),
+      |  ('newark', 'newark', 1.0),
+      |  ('nework', 'newark', 0.833333),
+      |  ('newrak', 'newark', 0.833333),
+      |  ('scysco', 'sysco', 0.90909),
+      |  ('sysco', 'sysco', 1.0),
+      |  ('syscoo', 'sysco', 0.90909),
+      |  ('test', 'test', 1.0),
+      |  ('tets', '', 0.0)) AS t(probe, matched, ratio)
+      |ORDER BY probe""".stripMargin
 
   /** q29_multimodal — multimodal decode plumbing: binary media column →
     * typed Dataset map (Scala analog of a mapInPandas decode batch) → typed
@@ -135,5 +164,6 @@ object ExtractOps {
     "q30_explode_pages" -> (q30ExplodePages _))
 
   def oracles: Map[String, String] = Map(
+    "q28_fuzzy_match" -> q28FuzzyMatchSql,
     "q30_explode_pages" -> q30ExplodePagesSql)
 }

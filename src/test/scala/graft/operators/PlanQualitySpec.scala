@@ -69,6 +69,14 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("q28_fuzzy_match: native SimRatio expression, no UDF node in the plan") {
+    val p = plan("q28_fuzzy_match")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      s"fuzzy match fell back to a UDF:\n$p")
+    assert(p.contains("simratio") || p.toLowerCase.contains("simratio"),
+      s"SimRatio expression missing from plan:\n$p")
+  }
+
   test("q31_asof_join: single shuffle on the join key, windowed (no range explosion)") {
     val p = plan("q31_asof_join")
     assert(p.contains("Window"), p)
