@@ -52,6 +52,7 @@ object DocRow {
     StructField("spans", ArrayType(spanType, containsNull = true)),
     StructField("quality", qualityType),
     StructField("nItems", IntegerType, nullable = false),
+    StructField("nPages", IntegerType, nullable = false),
     StructField("nBytes", LongType, nullable = false),
     StructField("failure", StringType)))
 
@@ -89,7 +90,7 @@ object DocRow {
       strArray(q.columnTypes), strArray(q.warnings), strArray(q.errors)))
     new GenericInternalRow(Array[Any](
       utf8(d.url), utf8(d.route), d.routeConfidence, utf8(d.vendor),
-      utf8(d.extractedText), cells, spans, quality, d.nItems, d.nBytes,
-      utf8(d.failure)))
+      utf8(d.extractedText), cells, spans, quality, d.nItems, d.nPages,
+      d.nBytes, utf8(d.failure)))
   }
 }

@@ -159,11 +159,21 @@ object Corpus {
     } else {
       val vendor = vendors(rng.nextInt(vendors.length))
       val scanned = kindDraw >= 90
-      val runs = pdfTableRuns(rng, vendor)
-      val bytes = PdfLite.write(1700, 1200, runs, scanned = scanned)
+      // structural variety so the corpus exercises every parser path the
+      // real web throws at PDF ingestion: ~12% multi-page (/Kids trees),
+      // ~30% FlateDecode-compressed streams, ~25% TJ kerned arrays, ~25%
+      // hex strings — all deterministic draws of the per-doc rng
+      val nPages = if (rng.nextInt(8) == 0) 2 + rng.nextInt(3) else 1
+      val pageSpecs = (1 to nPages).map(_ =>
+        PdfLite.PageSpec(1700, 1200, pdfTableRuns(rng, vendor)))
+      val compress = rng.nextInt(10) < 3
+      val tjEvery = if (rng.nextInt(4) == 0) 3 else 0
+      val hexEvery = if (rng.nextInt(4) == 0) 4 else 0
+      val bytes = PdfLite.writeDoc(pageSpecs, scanned = scanned,
+        compress = compress, tjEvery = tjEvery, hexEvery = hexEvery)
       val text =
         if (scanned) "" // forces the scanned route (detect: no meaningful text)
-        else runs.map(_.text).mkString(" ")
+        else pageSpecs.flatMap(_.runs).map(_.text).mkString(" ")
       PageRow(f"https://synth.test/pdf/$vendor%s/page-$i%09d",
         new java.sql.Timestamp(BaseEpochMs + i * 1000),
         bytes, text, lang)

@@ -93,9 +93,13 @@ object Extractor {
                          nBytes: Long, templates: Map[String, Template]): ExtractedDoc = {
     val parsed = PdfLite.parse(payload)
     val (route, routeConf) = detectRoute(isPdf = true, text, parsed.hasImage)
+    // page-1 truncation parity (extract.py:102-104, smart_extract.py:70):
+    // the per-document result covers page 1; multi-page processing is the
+    // explode operator's job (S12 → posexplode of pages)
+    val page1 = parsed.items.filter(_.page == 1)
     val items =
-      if (route == "scanned") applyScannedConfidence(url, parsed.items)
-      else parsed.items // native: conf already 100, blank-stripped at parse
+      if (route == "scanned") applyScannedConfidence(url, page1)
+      else page1 // native: conf already 100, blank-stripped at parse
 
     // A1 vendor detection: registry names first, then the reference
     // pipeline's curated keyword sets (table_slicer.py:44-52)
@@ -113,14 +117,14 @@ object Extractor {
         } yield CellSpan(r, c, t.columns(c), r, t.columns(c + 1) - t.columns(c), 1)
         val quality = checker.checkExtraction(cells, items)
         ExtractedDoc(url, route, routeConf, vendor.getOrElse(""), extractedText,
-          cells, spans.toVector, quality, items.length, nBytes, "")
+          cells, spans.toVector, quality, items.length, parsed.nPages, nBytes, "")
       case None =>
         val extractedText = layoutText(items)
         val lineGrid = extractedText.split("\n", -1).toVector
           .filter(_.nonEmpty).map(Vector(_))
         val quality = checker.checkExtraction(lineGrid, items)
         ExtractedDoc(url, route, routeConf, vendor.getOrElse(""), extractedText,
-          Vector.empty, Vector.empty, quality, items.length, nBytes, "")
+          Vector.empty, Vector.empty, quality, items.length, parsed.nPages, nBytes, "")
     }
   }
 
@@ -140,6 +144,6 @@ object Extractor {
         quality0.copy(warnings = quality0.warnings :+ "DOM depth cap reached; nesting flattened")
       else quality0
     ExtractedDoc(url, "html", 1.0, vendor.getOrElse(""), res.mainText,
-      res.cells, res.spans, quality, res.items.length, nBytes, "")
+      res.cells, res.spans, quality, res.items.length, 1, nBytes, "")
   }
 }

@@ -82,6 +82,7 @@ final case class ExtractedDoc(
     spans: Vector[CellSpan],
     quality: QualityReport,
     nItems: Int,
+    nPages: Int,              // pages in the payload (extraction covers page 1, extract.py:102-104 parity)
     nBytes: Long,
     failure: String)          // "" = ok; else taxonomy code ("parse_error:...", "oversize", ...)
 
@@ -94,5 +95,5 @@ object ExtractedDoc {
     * become taxonomy rows (SURVEY.md §4 "Failure isolation per document"). */
   def failed(url: String, nBytes: Long, code: String): ExtractedDoc =
     ExtractedDoc(url, "unknown", 0.0, "", "", Vector.empty, Vector.empty,
-      emptyQuality, 0, nBytes, code)
+      emptyQuality, 0, 0, nBytes, code)
 }

@@ -1,0 +1,123 @@
+package graft.kernel
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets
+
+/** Parser coverage for the hardened PDF-lite dialect: multi-page /Kids trees,
+  * FlateDecode streams, TJ kerned arrays, hex strings, MediaBox inheritance —
+  * the features a real-web PDF corpus exercises beyond the round-1 dialect
+  * (`smart_extract.py:64-97` ingests arbitrary PDFs; these close the gap). */
+class PdfLiteSpec extends AnyFunSuite {
+
+  private def runsOf(page: Int, base: Int): Vector[PdfLite.Run] = Vector(
+    PdfLite.Run(100, base, 12, s"alpha p$page"),
+    PdfLite.Run(300, base, 12, s"beta$page"),
+    PdfLite.Run(100, base + 40, 14, s"gamma line two p$page"))
+
+  private def doc3(compress: Boolean, tjEvery: Int = 0, hexEvery: Int = 0) =
+    PdfLite.writeDoc(
+      (1 to 3).map(p => PdfLite.PageSpec(800, 1000, runsOf(p, 100 + 10 * p))),
+      compress = compress, tjEvery = tjEvery, hexEvery = hexEvery)
+
+  test("multi-page /Kids tree: items carry 1-based page numbers, nPages counted") {
+    val parsed = PdfLite.parse(doc3(compress = false))
+    assert(parsed.nPages == 3)
+    assert(parsed.pageW == 800 && parsed.pageH == 1000)
+    val byPage = parsed.items.groupBy(_.page)
+    assert(byPage.keySet == Set(1, 2, 3))
+    for (p <- 1 to 3) {
+      val texts = byPage(p).map(_.text)
+      assert(texts == Vector(s"alpha p$p", s"beta$p", s"gamma line two p$p"), texts)
+      // geometry round-trips exactly (shared monospace metric)
+      assert(byPage(p).map(i => (i.x, i.y)) ==
+        Vector((100, 100 + 10 * p), (300, 100 + 10 * p), (100, 140 + 10 * p)))
+    }
+  }
+
+  test("FlateDecode streams parse identically to uncompressed") {
+    val plain = PdfLite.parse(doc3(compress = false))
+    val flate = PdfLite.parse(doc3(compress = true))
+    assert(flate.items == plain.items)
+    assert(flate.nPages == 3)
+  }
+
+  test("hex strings parse identically to literal strings") {
+    val plain = PdfLite.parse(doc3(compress = false))
+    val hex = PdfLite.parse(doc3(compress = false, hexEvery = 1))
+    assert(hex.items == plain.items)
+  }
+
+  test("hex string oddities: whitespace inside, odd digit count, empty") {
+    val pdf = ("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /MediaBox [0 0 200 200] /Contents 4 0 R >> endobj\n" +
+      "4 0 obj << /Length 60 >> stream\n" +
+      "BT /F1 10 Tf 10 180 Td <48 65 6C6C 6F> Tj <4> Tj <> Tj ET\n" +
+      "endstream endobj\n%%EOF\n").getBytes(StandardCharsets.ISO_8859_1)
+    val parsed = PdfLite.parse(pdf)
+    // <48 65 6C6C 6F> = "Hello"; <4> = 0x40 = "@"; <> = empty (dropped blank)
+    assert(parsed.items.map(_.text) == Vector("Hello", "@"), parsed.items)
+  }
+
+  test("TJ kerned arrays: -600 units advance exactly one space width") {
+    val size = 12
+    val run = PdfLite.Run(100, 200, size, "one two three")
+    val viaTj = PdfLite.parse(PdfLite.writeDoc(
+      Seq(PdfLite.PageSpec(800, 1000, Seq(run))), tjEvery = 1))
+    // three word items, positioned as if separated by single spaces
+    val w = PdfLite.CharWidthFactor * size
+    assert(viaTj.items.map(_.text) == Vector("one", "two", "three"))
+    val xs = viaTj.items.map(_.x)
+    assert(xs(0) == 100)
+    assert(xs(1) == (100 + ("one".length + 1) * w).toInt, xs)
+    assert(xs(2) == (100 + ("one two".length + 1) * w).toInt, xs)
+    // the concatenation matches the plain run's text
+    assert(viaTj.items.map(_.text).mkString(" ") == run.text)
+  }
+
+  test("MediaBox inherits from the Pages node when the Page has none") {
+    val pdf = ("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 500 700] >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      "4 0 obj << /Length 42 >> stream\n" +
+      "BT /F1 10 Tf 1 0 0 1 50 640 Tm (top) Tj ET\n" +
+      "endstream endobj\n%%EOF\n").getBytes(StandardCharsets.ISO_8859_1)
+    val parsed = PdfLite.parse(pdf)
+    assert(parsed.pageW == 500 && parsed.pageH == 700)
+    // yTop = 700 - 640 - 10 = 50 — inherited height applied
+    assert(parsed.items.map(i => (i.text, i.x, i.y)) == Vector(("top", 50, 50)))
+  }
+
+  test("/Contents array: multiple streams concatenate onto one page") {
+    val pdf = ("%PDF-1.4\n2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /MediaBox [0 0 300 300] /Contents [4 0 R 5 0 R] >> endobj\n" +
+      "4 0 obj << /Length 40 >> stream\nBT /F1 10 Tf 1 0 0 1 10 280 Tm (a) Tj ET\nendstream endobj\n" +
+      "5 0 obj << /Length 40 >> stream\nBT /F1 10 Tf 1 0 0 1 10 260 Tm (b) Tj ET\nendstream endobj\n" +
+      "%%EOF\n").getBytes(StandardCharsets.ISO_8859_1)
+    val parsed = PdfLite.parse(pdf)
+    assert(parsed.items.map(_.text) == Vector("a", "b"))
+    assert(parsed.items.forall(_.page == 1))
+  }
+
+  test("corrupt Flate data degrades to recovered items, never throws") {
+    val good = doc3(compress = true)
+    // flip bytes inside the first compressed stream body
+    val s = new String(good, StandardCharsets.ISO_8859_1)
+    val k = s.indexOf("stream\n", s.indexOf("4 0 obj")) + 7
+    val bad = good.clone()
+    for (j <- k + 4 until math.min(k + 24, bad.length)) bad(j) = (bad(j) ^ 0x5A).toByte
+    val parsed = PdfLite.parse(bad) // must not throw
+    assert(parsed.nPages == 3)
+    // pages 2 and 3 (untouched) still parse
+    assert(parsed.items.exists(_.page == 2) && parsed.items.exists(_.page == 3))
+  }
+
+  test("round-1 dialect (no explicit write path) still parses via the object tree") {
+    val legacy = PdfLite.write(1700, 1200, Seq(
+      PdfLite.Run(40, 300, 12, "legacy run")), scanned = true)
+    val parsed = PdfLite.parse(legacy)
+    assert(parsed.items.map(_.text) == Vector("legacy run"))
+    assert(parsed.hasImage && parsed.nPages == 1)
+    assert(parsed.pageW == 1700 && parsed.pageH == 1200)
+  }
+}
