@@ -89,6 +89,48 @@ object Extractor {
     }
   }
 
+  /** Per-page extraction — S12 done Spark-natively: where the reference
+    * splits a PDF into page FILES and loops (`split_pdf.py:3-11`,
+    * `ultimate_batch_processor.py:30-46`), here every page is extracted with
+    * the same route/vendor/slice chain and the caller `posexplode`s the
+    * result. Page 1 of a PDF reproduces [[extract]]'s text exactly (same
+    * items, same confidence function). Failures yield an empty vector (the
+    * doc contributes no page rows — the taxonomy lives on the doc-level row). */
+  def extractPages(url: String, payload: Array[Byte], text: String, lang: String,
+                   templates: Map[String, Template] = Vendor.builtinTemplates)
+      : Vector[PageExtract] = {
+    if (payload == null || payload.isEmpty || payload.length > MaxBytes)
+      return Vector.empty
+    try {
+      if (PdfLite.isPdf(payload)) {
+        val parsed = PdfLite.parse(payload)
+        val (route, _) = detectRoute(isPdf = true, text, parsed.hasImage)
+        (1 to parsed.nPages).toVector.map { p =>
+          val pageItems = parsed.items.filter(_.page == p)
+          val items =
+            if (route == "scanned") applyScannedConfidence(url, pageItems)
+            else pageItems
+          val vendor = Vendor.detectVendor(items, Vendor.registryKeywords(templates))
+          val template = vendor.flatMap(v => Vendor.getTemplate(v, templates))
+          val pageText = template match {
+            case Some(t) =>
+              slicer.sliceToTable(items, t.tableBox, t.columns, page = Some(p))
+                .map(_.mkString("\t")).mkString("\n")
+            case None => layoutText(items)
+          }
+          PageExtract(p, items.length, pageText)
+        }
+      } else {
+        val doc = extract(url, payload, text, lang, templates)
+        if (doc.failure.nonEmpty) Vector.empty
+        else Vector(PageExtract(1, doc.nItems, doc.extractedText))
+      }
+    } catch {
+      case _: Exception => Vector.empty
+      case _: StackOverflowError => Vector.empty
+    }
+  }
+
   private def extractPdf(url: String, payload: Array[Byte], text: String,
                          nBytes: Long, templates: Map[String, Template]): ExtractedDoc = {
     val parsed = PdfLite.parse(payload)

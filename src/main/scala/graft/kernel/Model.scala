@@ -27,7 +27,9 @@ final case class Template(
     vendor: String,
     tableBox: Vector[Int],
     columns: Vector[Int],
-    confidence: Double = 1.0) {
+    confidence: Double = 1.0,
+    created: String = "",     // ISO metadata, registry-file provenance (template.py:23-24)
+    modified: String = "") {
 
   /** Validation per `template.py:28-62`: returns a normalized copy or None.
     * (The reference mutates in place + auto-sorts/clamps; we normalize pure.) */
@@ -47,6 +49,11 @@ final case class Template(
 /** Per-row/col cell span with synthetic geometry, for the `spans` output
   * column required by the north rule (table-cell spans per url). */
 final case class CellSpan(row: Int, col: Int, x: Int, y: Int, w: Int, h: Int)
+
+/** One page of a multi-page document, extracted independently — the S12
+  * "split then process each page" semantic (`split_pdf.py:3-11` feeding the
+  * batch loop) as data: `posexplode` these instead of splitting files. */
+final case class PageExtract(page: Int, nItems: Int, text: String)
 
 /** Quality report per document — the reference's QualityReport dataclass
   * (`quality.py:17-61`) minus wall-clock timestamp (determinism: no clock

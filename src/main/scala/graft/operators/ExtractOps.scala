@@ -7,51 +7,90 @@ import graft.spark.ExtractPipeline
 
 /** Queries exercising the extraction engine itself plus the non-SQL-
   * expressible operators (Ratcliff-Obershelp fuzzy match, multimodal decode).
-  * These have no DuckDB oracle — the driver records a rows-only check; their
-  * real correctness gate is `sbt -batch test` byte-equality
-  * (ExtractE2ESpec/GoldenParitySpec) per the north rule.
   *
   * The extraction inputs are the deterministic synthetic corpus
-  * ([[graft.kernel.Corpus]]) — a pure function of (seed, index), so results
-  * are identical across runs, partitionings, and parallelism levels.
+  * ([[graft.kernel.Corpus]]) — a pure function of (seed, index) — SIZED BY
+  * the sf dir (4 pages per `documents` row), so every query's cost and row
+  * counts scale with the driver's scale factor. Because the corpus is a pure
+  * function, the single-threaded kernel's results are committed under
+  * `data/golden_*.parquet` ([[graft.tools.GenGoldenExtract]]) and serve as
+  * REAL DuckDB oracles: the driver hash-compares the distributed extraction
+  * against an independently-read golden, closing the loop the
+  * `sbt -batch test` byte gate opens (ExtractE2ESpec compares the same pure
+  * function live).
   */
 object ExtractOps {
 
-  val VerifyPages = 1500L
+  /** Committed goldens (absolute so the driver's DuckDB resolves them from
+    * any cwd). */
+  val GoldenDir = "/root/repo/data"
 
-  private def extracted(spark: SparkSession): DataFrame =
-    ExtractPipeline.extractDf(ExtractPipeline.pages(spark, VerifyPages).toDF())
+  /** Pages per `documents` row — sf0.001/0.01/0.1 → 200/2 000/20 000 pages. */
+  val PagesPerDoc = 4L
+
+  private def nDocs(spark: SparkSession, dir: String): Long =
+    OpsCommon.table(spark, dir, "documents").count()
+
+  private def corpusPages(spark: SparkSession, dir: String): DataFrame =
+    ExtractPipeline.pages(spark, PagesPerDoc * nDocs(spark, dir)).toDF()
+
+  private def extracted(spark: SparkSession, dir: String): DataFrame =
+    ExtractPipeline.extractDf(corpusPages(spark, dir))
+
+  /** DuckDB view of the golden docs limited to this sf's corpus size. */
+  private def goldenDocsSql(perDoc: Long = PagesPerDoc): String =
+    s"""SELECT * FROM read_parquet('$GoldenDir/golden_docs.parquet')
+       |  WHERE idx < $perDoc * (SELECT count(*) FROM documents)""".stripMargin
 
   /** q25_extract_rollup — the flagship fleet rollup: per (route, vendor)
-    * doc counts, item counts, failure counts, mean quality (A2–A8 rolled up
-    * with built-in aggs — SURVEY §2.4 fleet mappings). */
+    * doc counts, item counts, failure counts, quality mass (A2–A8 rolled up
+    * with built-in aggs — SURVEY §2.4 fleet mappings). Quality sums go
+    * through DECIMAL (exact, order-independent) so the hash compare is safe
+    * under any partitioning on either engine. */
   def q25ExtractRollup(spark: SparkSession, dir: String): DataFrame =
-    extracted(spark)
+    extracted(spark, dir)
       .groupBy(col("route"), col("vendor"))
       .agg(count(lit(1)).as("n_docs"),
            sum(col("nItems")).cast("long").as("sum_items"),
+           sum(col("nPages")).cast("long").as("sum_pages"),
            sum(when(col("failure") =!= "", 1L).otherwise(0L)).as("n_failures"),
-           round(avg(col("quality.overallScore")), 2).as("avg_quality"),
+           OpsCommon.decSum(col("quality.overallScore"), 6).as("sum_quality"),
            sum(length(col("extractedText"))).cast("long").as("sum_text_chars"))
       .orderBy(col("route"), col("vendor"))
 
+  val q25ExtractRollupSql: String =
+    s"""WITH g AS (${goldenDocsSql()})
+       |SELECT route, vendor, count(*) AS n_docs,
+       |  cast(sum(n_items) as bigint) AS sum_items,
+       |  cast(sum(n_pages) as bigint) AS sum_pages,
+       |  cast(sum(CASE WHEN failure <> '' THEN 1 ELSE 0 END) as bigint) AS n_failures,
+       |  ${OpsCommon.decSumSql("quality_score", 6)} AS sum_quality,
+       |  cast(sum(n_chars) as bigint) AS sum_text_chars
+       |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** q26_extract_text_hash — the byte-identity artifact surfaced as a query:
-    * url → md5(extractedText), first 200 urls. Any kernel drift flips these
-    * hashes run-over-run (the in-repo analog of the north rule's
-    * byte-identical-text pass rate). */
+    * url → md5(extractedText), first 200 urls. The DuckDB side reads the
+    * committed golden hashes — a cross-engine per-url byte-identity check,
+    * the in-repo analog of the north rule's pass rate. */
   def q26ExtractTextHash(spark: SparkSession, dir: String): DataFrame =
-    extracted(spark)
+    extracted(spark, dir)
       .select(col("url"), md5(col("extractedText").cast("binary")).as("text_md5"),
         length(col("extractedText")).as("n_chars"), col("route"))
       .orderBy(col("url"))
       .limit(200)
 
+  val q26ExtractTextHashSql: String =
+    s"""WITH g AS (${goldenDocsSql()})
+       |SELECT url, text_md5, n_chars, route FROM g ORDER BY url LIMIT 200""".stripMargin
+
   /** q27_extract_expr — same extraction through the Catalyst `Expression`
     * surface (column API, SURVEY §2.11) instead of the typed mapPartitions:
-    * proves both integration points agree. */
+    * proves both integration points agree (over the sf-sized corpus' first
+    * nDocs pages — a different slice than q25, so both paths are oracle-
+    * checked independently). */
   def q27ExtractExpr(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.ExtractDocExpr
-    val pages = ExtractPipeline.pages(spark, 300L).toDF()
+    val pages = ExtractPipeline.pages(spark, nDocs(spark, dir)).toDF()
     pages.select(
       ExtractDocExpr.extractDoc(col("url"), col("html"), col("text"), col("lang")).as("doc"))
       .select(col("doc.url").as("url"), col("doc.route").as("route"),
@@ -61,6 +100,12 @@ object ExtractOps {
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("sum_chars"))
       .orderBy(col("route"), col("vendor"), col("failure"))
   }
+
+  val q27ExtractExprSql: String =
+    s"""WITH g AS (${goldenDocsSql(perDoc = 1L)})
+       |SELECT route, vendor, failure, count(*) AS n,
+       |  cast(sum(n_chars) as bigint) AS sum_chars
+       |FROM g GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
   /** q28_fuzzy_match — J2: Ratcliff-Obershelp fuzzy template lookup
     * (difflib-parity expression [[graft.functions.SimRatio]], SURVEY §7.4) as
@@ -112,12 +157,13 @@ object ExtractOps {
 
   /** q29_multimodal — multimodal decode plumbing: binary media column →
     * typed Dataset map (Scala analog of a mapInPandas decode batch) → typed
-    * metadata/features → rollup. Decode itself is the documented stub
-    * ([[graft.kernel.Multimodal.decode]]); schema/partitioning/batching are
-    * real. */
+    * metadata/features → rollup, sized by the sf dir. Decode itself is the
+    * documented stub ([[graft.kernel.Multimodal.decode]]);
+    * schema/partitioning/batching are real, and the committed golden metas
+    * give it a cross-engine oracle. */
   def q29Multimodal(spark: SparkSession, dir: String): DataFrame = {
     implicit val enc = Encoders.product[Multimodal.MediaMeta]
-    val metas = spark.range(0, 2000, 1, 8)
+    val metas = spark.range(0, PagesPerDoc * nDocs(spark, dir), 1, 8)
       .map(i => Multimodal.decode(i, Multimodal.blob(i)))
     metas.toDF()
       .groupBy(col("format"), col("channels"))
@@ -127,6 +173,46 @@ object ExtractOps {
            sum(when(col("failure") =!= "", 1L).otherwise(0L)).as("n_failures"))
       .orderBy(col("format"), col("channels"))
   }
+
+  val q29MultimodalSql: String =
+    s"""WITH g AS (SELECT * FROM read_parquet('$GoldenDir/golden_media.parquet')
+       |  WHERE idx < $PagesPerDoc * (SELECT count(*) FROM documents))
+       |SELECT format, channels, count(*) AS n,
+       |  cast(sum(n_bytes) as bigint) AS sum_bytes,
+       |  max(width) AS max_w, max(height) AS max_h,
+       |  cast(sum(CASE WHEN failure <> '' THEN 1 ELSE 0 END) as bigint) AS n_failures
+       |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q38_extract_pages — S12 done properly: real multi-page PDFs exploded
+    * into per-page rows via `posexplode(extract_pages(...))`
+    * ([[graft.functions.ExtractPagesExpr]]) — each page independently
+    * routed/sliced by the kernel (the reference's split-into-files batch loop
+    * as one narrow map + generator). Rolled up per page number; row counts
+    * scale with the sf dir and the oracle reads the committed per-page
+    * golden. */
+  def q38ExtractPages(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExtractPagesExpr
+    corpusPages(spark, dir)
+      .select(col("url"),
+        posexplode(ExtractPagesExpr.extractPages(
+          col("url"), col("html"), col("text"), col("lang"))).as(Seq("pos", "pg")))
+      .select(col("url"), col("pg.page").as("page"),
+        col("pg.nItems").as("n_items"), length(col("pg.text")).as("n_chars"))
+      .groupBy(col("page"))
+      .agg(count(lit(1)).as("n_pages"),
+           countDistinct(col("url")).as("n_docs"),
+           sum(col("n_items")).cast("long").as("sum_items"),
+           sum(col("n_chars")).cast("long").as("sum_chars"))
+      .orderBy(col("page"))
+  }
+
+  val q38ExtractPagesSql: String =
+    s"""WITH g AS (SELECT * FROM read_parquet('$GoldenDir/golden_pages.parquet')
+       |  WHERE idx < $PagesPerDoc * (SELECT count(*) FROM documents))
+       |SELECT page, count(*) AS n_pages, count(distinct url) AS n_docs,
+       |  cast(sum(n_items) as bigint) AS sum_items,
+       |  cast(sum(n_chars) as bigint) AS sum_chars
+       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** q30_explode_pages — S12 (multi-page split) as posexplode: documents
     * exploded into per-“page” text chunks of 20 tokens, counted per source.
@@ -155,15 +241,47 @@ object ExtractOps {
       |  FROM documents)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q39_template_stats — A9 (`get_stats`, `template.py:308-336`) as a real
+    * aggregation over the registry rows (count / avg / min / max column
+    * arity, sorted vendor list); [[graft.kernel.TemplateStore.stats]] is the
+    * kernel twin. Registry-sized data — the query shape matters, not the
+    * scale. */
+  def q39TemplateStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Vendor.builtinTemplates.values.toSeq
+      .map(t => (t.vendor, t.columns.length - 1))
+      .toDF("vendor", "n_columns")
+    rows.agg(
+      count(lit(1)).as("n_templates"),
+      avg(col("n_columns")).as("avg_columns"),
+      min(col("n_columns")).as("min_columns"),
+      max(col("n_columns")).as("max_columns"),
+      concat_ws(",", sort_array(collect_list(col("vendor")))).as("vendors"))
+  }
+
+  val q39TemplateStatsSql: String =
+    """SELECT count(*) AS n_templates, avg(n_columns) AS avg_columns,
+      |  min(n_columns) AS min_columns, max(n_columns) AS max_columns,
+      |  string_agg(vendor, ',' ORDER BY vendor) AS vendors
+      |FROM (VALUES ('newark', 16), ('sysco', 10), ('test', 3)) AS t(vendor, n_columns)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_extract_rollup" -> (q25ExtractRollup _),
     "q26_extract_text_hash" -> (q26ExtractTextHash _),
     "q27_extract_expr" -> (q27ExtractExpr _),
     "q28_fuzzy_match" -> (q28FuzzyMatch _),
     "q29_multimodal" -> (q29Multimodal _),
-    "q30_explode_pages" -> (q30ExplodePages _))
+    "q30_explode_pages" -> (q30ExplodePages _),
+    "q38_extract_pages" -> (q38ExtractPages _),
+    "q39_template_stats" -> (q39TemplateStats _))
 
   def oracles: Map[String, String] = Map(
+    "q25_extract_rollup" -> q25ExtractRollupSql,
+    "q26_extract_text_hash" -> q26ExtractTextHashSql,
+    "q27_extract_expr" -> q27ExtractExprSql,
     "q28_fuzzy_match" -> q28FuzzyMatchSql,
-    "q30_explode_pages" -> q30ExplodePagesSql)
+    "q29_multimodal" -> q29MultimodalSql,
+    "q30_explode_pages" -> q30ExplodePagesSql,
+    "q38_extract_pages" -> q38ExtractPagesSql,
+    "q39_template_stats" -> q39TemplateStatsSql)
 }

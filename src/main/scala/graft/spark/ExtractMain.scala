@@ -9,12 +9,15 @@ import org.apache.spark.sql.SparkSession
   * spark-submit --class graft.spark.ExtractMain \
   *   target/scala-2.13/pdf_extractorspark_2.13-0.1.0.jar \
   *   --input synth:100000 --out /data/extracted --run-id r1 \
-  *   [--buckets 64] [--partitions 0] [--resume]
+  *   [--buckets 64] [--partitions 0] [--resume] [--templates registry.json]
   * }}}
   *
   * `--input` is either `synth:N` (deterministic corpus, benchmarking) or a
   * path to a parquet/Iceberg-shaped table with the input_hint schema
-  * `(url, warc_ts, html, text, lang)`. Master/executor topology comes from
+  * `(url, warc_ts, html, text, lang)`. `--templates` points at a JSON
+  * registry (`vendor_templates.json` shape, S7) loaded + validated on the
+  * driver via [[graft.kernel.TemplateStore.load]] and broadcast; without it
+  * the builtin registry ships. Master/executor topology comes from
   * spark-submit itself (`--master`, `--num-executors`, …), which is how the
   * N vs 4N cluster-size comparison is driven on a real cluster.
   */
@@ -36,8 +39,17 @@ object ExtractMain {
         ExtractPipeline.pages(spark, input.stripPrefix("synth:").toLong).toDF()
       else spark.read.parquet(input)
 
+    val templates = opts.get("templates") match {
+      case Some(path) =>
+        val loaded = graft.kernel.TemplateStore.load(path)
+        require(loaded.nonEmpty, s"no valid templates in $path")
+        loaded
+      case None => graft.kernel.Vendor.builtinTemplates
+    }
+
     val m = ExtractJob.run(spark, pages, out, runId,
-      nBuckets = buckets, numPartitions = partitions, resume = resume)
+      nBuckets = buckets, numPartitions = partitions, resume = resume,
+      templates = templates)
     // one machine-readable summary line (same shape Bench uses)
     println(
       f"""{"runId":"$runId","docs":${m.docs},"bytes":${m.bytes},"okDocs":${m.okDocs},""" +

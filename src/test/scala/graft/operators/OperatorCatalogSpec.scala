@@ -46,9 +46,10 @@ class OperatorCatalogSpec extends SparkTestBase {
   }
 
   test("expression surface and mapPartitions surface agree on routing totals") {
+    // q27 extracts one page per documents row (sf0.001 → 500)
     val viaExpr = SparkEntry.queries("q27_extract_expr")(spark, sfDir)
       .selectExpr("sum(n)").collect()(0).getLong(0)
-    assert(viaExpr == 300L)
+    assert(viaExpr == 500L)
   }
 
   test("fuzzy match resolves misspellings at difflib cutoff semantics") {
