@@ -423,10 +423,22 @@ object PdfLite {
         val ch = content.charAt(i)
         if (ch == '\\' && i + 1 < n) {
           content.charAt(i + 1) match {
-            case 'n' => sb.append('\n'); case 'r' => sb.append('\r')
-            case 't' => sb.append('\t'); case other => sb.append(other)
+            case 'n' => sb.append('\n'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case 't' => sb.append('\t'); i += 2
+            case '\n' => i += 2 // line continuation (PDF 32000-1 §7.3.4.2)
+            case '\r' => // \<CR> or \<CRLF> continuation
+              i += 2
+              if (i < n && content.charAt(i) == '\n') i += 1
+            case d if d >= '0' && d <= '7' => // octal \d, \dd or \ddd
+              var v = 0; var k = 0; i += 1
+              while (k < 3 && i < n && content.charAt(i) >= '0' &&
+                     content.charAt(i) <= '7') {
+                v = (v << 3) | (content.charAt(i) - '0'); i += 1; k += 1
+              }
+              sb.append((v & 0xff).toChar)
+            case other => sb.append(other); i += 2
           }
-          i += 2
         } else if (ch == '(') { depth += 1; sb.append(ch); i += 1 }
         else if (ch == ')') { depth -= 1; if (depth > 0) sb.append(ch); i += 1 }
         else { sb.append(ch); i += 1 }

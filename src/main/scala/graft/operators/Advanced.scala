@@ -100,13 +100,38 @@ object Advanced {
       |  cast(max(cast(json_extract_string(props, '$.k') as int)) as int) AS max_k
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q40_cube — full CUBE over (returnflag, linestatus): all four grouping
+    * combinations in one pass (Spark expands grouping sets before the
+    * partial aggregate, so it remains a single two-phase agg — no extra
+    * shuffles vs a plain groupBy). `grouping_id` disambiguates data-nulls
+    * from total-rows, the standard OLAP contract. */
+  def q40Cube(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("l_quantity")).cast("long").as("sum_qty"),
+           decSum(col("l_extendedprice")).as("sum_price"),
+           grouping_id().as("gid"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  val q40CubeSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  cast(sum(l_quantity) as bigint) AS sum_qty,
+      |  cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sum_price,
+      |  cast(grouping(l_returnflag) * 2 + grouping(l_linestatus) as bigint) AS gid
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_asof_join" -> (q31AsofJoin _),
     "q32_rollup" -> (q32Rollup _),
-    "q33_json" -> (q33Json _))
+    "q33_json" -> (q33Json _),
+    "q40_cube" -> (q40Cube _))
 
   def oracles: Map[String, String] = Map(
     "q31_asof_join" -> q31AsofJoinSql,
     "q32_rollup" -> q32RollupSql,
-    "q33_json" -> q33JsonSql)
+    "q33_json" -> q33JsonSql,
+    "q40_cube" -> q40CubeSql)
 }

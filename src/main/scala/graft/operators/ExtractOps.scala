@@ -265,6 +265,37 @@ object ExtractOps {
       |  string_agg(vendor, ',' ORDER BY vendor) AS vendors
       |FROM (VALUES ('newark', 16), ('sysco', 10), ('test', 3)) AS t(vendor, n_columns)""".stripMargin
 
+  /** q41_quality_hist — the custom typed `Aggregator` surface
+    * ([[graft.functions.QualityHistogram]], §2.11 UDAF row): per-route exact
+    * quality histograms, exploded back to (route, bucket, n) rows. Zero
+    * buckets are emitted too (the aggregator's buffer carries them — a
+    * groupBy-count can't), which is exactly what makes it a custom buffer
+    * demo rather than builtin sugar. */
+  def q41QualityHist(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.QualityHistogram
+    val hist = udaf(QualityHistogram)
+    extracted(spark, dir)
+      .groupBy(col("route"))
+      .agg(hist(col("quality.overallScore")).as("h"))
+      .select(col("route"), posexplode(col("h")).as(Seq("bucket", "n")))
+      .orderBy(col("route"), col("bucket"))
+  }
+
+  val q41QualityHistSql: String =
+    s"""WITH g AS (${goldenDocsSql()}),
+       |spine AS (
+       |  SELECT r.route, b.range AS bucket
+       |  FROM (SELECT DISTINCT route FROM g) r CROSS JOIN range(10) b),
+       |counts AS (
+       |  SELECT route,
+       |    least(9, greatest(0, cast(floor(quality_score / 10.0) as int))) AS bucket,
+       |    count(*) AS n
+       |  FROM g GROUP BY 1, 2)
+       |SELECT s.route, cast(s.bucket as int) AS bucket,
+       |  cast(coalesce(c.n, 0) as bigint) AS n
+       |FROM spine s LEFT JOIN counts c ON s.route = c.route AND s.bucket = c.bucket
+       |ORDER BY s.route, s.bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_extract_rollup" -> (q25ExtractRollup _),
     "q26_extract_text_hash" -> (q26ExtractTextHash _),
@@ -273,7 +304,8 @@ object ExtractOps {
     "q29_multimodal" -> (q29Multimodal _),
     "q30_explode_pages" -> (q30ExplodePages _),
     "q38_extract_pages" -> (q38ExtractPages _),
-    "q39_template_stats" -> (q39TemplateStats _))
+    "q39_template_stats" -> (q39TemplateStats _),
+    "q41_quality_hist" -> (q41QualityHist _))
 
   def oracles: Map[String, String] = Map(
     "q25_extract_rollup" -> q25ExtractRollupSql,
@@ -283,5 +315,6 @@ object ExtractOps {
     "q29_multimodal" -> q29MultimodalSql,
     "q30_explode_pages" -> q30ExplodePagesSql,
     "q38_extract_pages" -> q38ExtractPagesSql,
-    "q39_template_stats" -> q39TemplateStatsSql)
+    "q39_template_stats" -> q39TemplateStatsSql,
+    "q41_quality_hist" -> q41QualityHistSql)
 }

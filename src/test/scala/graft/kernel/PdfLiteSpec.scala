@@ -75,6 +75,19 @@ class PdfLiteSpec extends AnyFunSuite {
     assert(viaTj.items.map(_.text).mkString(" ") == run.text)
   }
 
+  test("literal-string octal escapes and line continuations (PDF §7.3.4.2)") {
+    val pdf = ("%PDF-1.4\n2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /MediaBox [0 0 200 200] /Contents 4 0 R >> endobj\n" +
+      "4 0 obj << /Length 80 >> stream\n" +
+      "BT /F1 10 Tf 10 180 Td (\\110i \\164here) Tj (sp\\154it \\\n" +
+      "over lines) Tj (\\0601\\61) Tj ET\n" +
+      "endstream endobj\n%%EOF\n").getBytes(StandardCharsets.ISO_8859_1)
+    val parsed = PdfLite.parse(pdf)
+    // \110 = H, \164 = t; \<newline> = continuation (dropped); \060 = '0', \61 = '1'
+    assert(parsed.items.map(_.text) == Vector("Hi there", "split over lines", "011"),
+      parsed.items.map(_.text))
+  }
+
   test("MediaBox inherits from the Pages node when the Page has none") {
     val pdf = ("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
       "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 500 700] >> endobj\n" +

@@ -77,6 +77,24 @@ class PlanQualitySpec extends SparkTestBase {
       s"SimRatio expression missing from plan:\n$p")
   }
 
+  test("q38_extract_pages: generator explode over one narrow map, two-phase agg") {
+    val p = plan("q38_extract_pages")
+    assert(p.contains("Generate"), s"posexplode missing:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+    // narrow pipeline: corpus → expression → explode → partial agg, then the
+    // grouping exchange + the count-distinct expansion + the output sort —
+    // never a join/cross-product on the exploded rows
+    val shuffles = "Exchange".r.findAllIn(p).length
+    assert(shuffles <= 3, s"expected ≤3 exchanges (agg + distinct + order), got $shuffles:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("q40_cube: grouping sets stay one two-phase aggregation (single expand)") {
+    val p = plan("q40_cube")
+    assert(p.contains("Expand"), s"cube should plan an Expand node:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+  }
+
   test("q31_asof_join: single shuffle on the join key, windowed (no range explosion)") {
     val p = plan("q31_asof_join")
     assert(p.contains("Window"), p)
