@@ -100,7 +100,11 @@ object Bench {
       bestHi = math.min(bestHi, mHi.wallSec)
       staleRounds = if (improved) 0 else staleRounds + 1
       val elapsed = (System.nanoTime() - t0) / 1e9
-      done = r >= minReps && (staleRounds >= 2 || elapsed > budgetSec)
+      done = (r >= minReps && (staleRounds >= 2 || elapsed > budgetSec)) ||
+        // hard stop: a pathological noise window (single reps of 900s were
+        // observed) must not hold the whole bench hostage — past 2× budget,
+        // two pairs are enough to report
+        (r >= 2 && elapsed > 2.0 * budgetSec)
       r += 1
     }
     (rLo.result(), rHi.result())

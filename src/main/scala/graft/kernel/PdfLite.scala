@@ -175,19 +175,41 @@ object PdfLite {
     def hasStream: Boolean = streamStart >= 0
   }
 
-  private val objStart = java.util.regex.Pattern.compile("(\\d+)\\s+\\d+\\s+obj\\b")
+  /** Locate `N G obj` working BACKWARD from an `obj` keyword hit: generation
+    * digits, whitespace, object digits. Returns (objNum, matchStart) or null.
+    * (A regex `\d+\s+\d+\s+obj` re-attempts at every digit of the
+    * coordinate-dense content — this scan touches each byte once.) */
+  private def objHeaderBefore(s: String, objIdx: Int): (Int, Int) = {
+    var k = objIdx - 1
+    if (k < 0 || !s.charAt(k).isWhitespace) return null
+    while (k >= 0 && s.charAt(k).isWhitespace) k -= 1
+    val genEnd = k
+    while (k >= 0 && s.charAt(k).isDigit) k -= 1
+    if (k == genEnd || k < 0 || !s.charAt(k).isWhitespace) return null
+    while (k >= 0 && s.charAt(k).isWhitespace) k -= 1
+    val numEnd = k
+    while (k >= 0 && s.charAt(k).isDigit) k -= 1
+    if (k == numEnd) return null
+    val numStart = k + 1
+    if (numEnd - numStart > 8) return null // absurd object number: not a header
+    try (s.substring(numStart, numEnd + 1).toInt, numStart)
+    catch { case _: NumberFormatException => null }
+  }
 
   /** Scan the object skeleton: number, dict text, raw stream byte range.
     * A cursor skips matches that fall INSIDE a previous object's stream —
     * compressed binary data can spell "N 0 obj" by accident. */
   private def scanObjects(s: String): Vector[PdfObj] = {
     val out = Vector.newBuilder[PdfObj]
-    val m = objStart.matcher(s)
     var cursor = 0
-    while (m.find()) {
-      val num = try m.group(1).toInt catch { case _: NumberFormatException => -1 }
-      if (num >= 0 && m.start() >= cursor) {
-        val bodyStart = m.end()
+    var objIdx = s.indexOf("obj")
+    while (objIdx >= 0) {
+      val boundaryOk = objIdx + 3 >= s.length ||
+        { val c = s.charAt(objIdx + 3); !c.isLetterOrDigit }
+      val hdr = if (boundaryOk) objHeaderBefore(s, objIdx) else null
+      val num = if (hdr == null) -1 else hdr._1
+      if (num >= 0 && hdr._2 >= cursor) {
+        val bodyStart = objIdx + 3
         val endObj = s.indexOf("endobj", bodyStart)
         val bodyEnd = if (endObj < 0) s.length else endObj
         val streamKw = s.indexOf("stream", bodyStart)
@@ -206,6 +228,7 @@ object PdfLite {
           cursor = bodyStart
         }
       }
+      objIdx = s.indexOf("obj", objIdx + 3)
     }
     out.result()
   }
