@@ -243,16 +243,48 @@ object Html {
     BlockStats(t, l, p)
   }
 
+  /** Own-stats for EVERY element in ONE post-order pass (semantics identical
+    * to per-node [[ownStats]]): a child's memoized stats fold into its parent
+    * unless the child is a container/chrome node (contributes 0 to the
+    * parent's OWN text), and an `<a>` child's entire own-text re-counts as
+    * link text (how the recursive walk's `inLink` flag resolves bottom-up).
+    * Per-candidate re-walks are O(n × nested-candidates) — on a real-web page
+    * where every nested `div` is a candidate that is quadratic; this is the
+    * O(n) form. */
+  private[kernel] def ownStatsAll(root: Elem): java.util.IdentityHashMap[Elem, BlockStats] = {
+    val memo = new java.util.IdentityHashMap[Elem, BlockStats]()
+    def compute(e: Elem): BlockStats = {
+      var t = 0; var l = 0; var p = 0
+      for (c <- e.children) c match {
+        case Text(s) => t += normalizeWs(s).length
+        case el: Elem =>
+          val s = compute(el) // memoize the whole tree: containers are
+          // skipped by PARENTS but still need their own stats as candidates
+          if (!(candidateElems.contains(el.name) || boilerplateElems.contains(el.name))) {
+            t += s.textLen
+            if (el.name == "a") l += s.textLen else l += s.linkTextLen
+            p += s.pCount + (if (el.name == "p") 1 else 0)
+          }
+      }
+      val st = BlockStats(t, l, p)
+      memo.put(e, st)
+      st
+    }
+    compute(root)
+    memo
+  }
+
   /** Main-content selection: among candidate blocks not inside boilerplate
     * chrome, maximize `ownTextLen × (1 − linkDensity) × (1 + 0.1·pCount_capped)`.
     * First-in-document-order wins ties (strict > comparison). */
   def selectMain(root: Elem): Option[Elem] = {
+    val memo = ownStatsAll(root)
     var best: Option[Elem] = None
     var bestScore = -1.0
     def walk(e: Elem, inBoiler: Boolean): Unit = {
       val boiler = inBoiler || boilerplateElems.contains(e.name)
       if (!boiler && candidateElems.contains(e.name)) {
-        val s = ownStats(e)
+        val s = memo.get(e)
         if (s.textLen > 0) {
           val linkDensity = s.linkTextLen.toDouble / s.textLen
           val score = s.textLen * (1.0 - linkDensity) * (1.0 + 0.1 * math.min(s.pCount, 10))

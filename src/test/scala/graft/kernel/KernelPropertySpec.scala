@@ -176,6 +176,32 @@ class ParserFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("one-pass own-stats equals the recursive definition on every node") {
+    // the O(n) bottom-up memo (Html.ownStatsAll) must agree with the
+    // per-node recursive ownStats on corpus pages AND on adversarial soup
+    def checkTree(root: Html.Elem): Unit = {
+      val memo = Html.ownStatsAll(root)
+      def walk(e: Html.Elem): Unit = {
+        assert(memo.get(e) == Html.ownStats(e), s"own-stats diverge at <${e.name}>")
+        e.children.foreach { case el: Html.Elem => walk(el); case _ => }
+      }
+      walk(root)
+    }
+    for (i <- 0L until 60L) {
+      val p = Corpus.page(i)
+      if (!PdfLite.isPdf(p.html))
+        checkTree(Html.parse(new String(p.html, "UTF-8")))
+    }
+    val rng = new java.util.Random(0xBEEFL)
+    val frags = Array("<div>", "</div>", "<p>", "</p>", "text ", "<a href=x>",
+      "</a>", "<main>", "</main>", "<nav>", "</nav>", "<section>", "link ")
+    for (_ <- 0 until 100) {
+      val sb = new StringBuilder
+      for (_ <- 0 until rng.nextInt(120)) sb.append(frags(rng.nextInt(frags.length)))
+      checkTree(Html.parse(sb.toString))
+    }
+  }
+
   test("multimodal decode is total on random bytes") {
     val rng = new java.util.Random(0xD00DL)
     for (i <- 0 until 200) {
