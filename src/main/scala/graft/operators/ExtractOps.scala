@@ -31,8 +31,23 @@ object ExtractOps {
   private def nDocs(spark: SparkSession, dir: String): Long =
     OpsCommon.table(spark, dir, "documents").count()
 
+  /** The sf-sized synthetic corpus as a PARQUET TABLE, materialized once per
+    * size under the JVM temp dir and re-read thereafter (generation —
+    * including Flate compression — is corpus CREATION, not query work; the
+    * extraction queries should scan a table exactly like production scans
+    * the crawl). Pure (seed, index) generation makes the cache safely
+    * reusable across sessions; `_SUCCESS` guards partial writes. */
+  private def cachedPages(spark: SparkSession, n: Long): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_corpus_cache/pages_$n"
+    ExtractOps.synchronized {
+      if (!new java.io.File(s"$path/_SUCCESS").exists())
+        ExtractPipeline.pages(spark, n).write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
   private def corpusPages(spark: SparkSession, dir: String): DataFrame =
-    ExtractPipeline.pages(spark, PagesPerDoc * nDocs(spark, dir)).toDF()
+    cachedPages(spark, PagesPerDoc * nDocs(spark, dir))
 
   private def extracted(spark: SparkSession, dir: String): DataFrame =
     ExtractPipeline.extractDf(corpusPages(spark, dir))
@@ -90,7 +105,7 @@ object ExtractOps {
     * checked independently). */
   def q27ExtractExpr(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.ExtractDocExpr
-    val pages = ExtractPipeline.pages(spark, nDocs(spark, dir)).toDF()
+    val pages = cachedPages(spark, nDocs(spark, dir))
     pages.select(
       ExtractDocExpr.extractDoc(col("url"), col("html"), col("text"), col("lang")).as("doc"))
       .select(col("doc.url").as("url"), col("doc.route").as("route"),
