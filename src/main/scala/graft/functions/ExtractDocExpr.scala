@@ -26,21 +26,12 @@ case class ExtractDocExpr(children: Seq[Expression],
 
   require(children.length == 4, "extract_doc(url, html, text, lang)")
 
-  /** Analysis-time input contract: misuse (e.g. an int html column) fails in
-    * the analyzer, not as a per-row ClassCastException at runtime. The html
-    * payload may be BINARY or STRING (a crawler table may store markup either
-    * way; eval handles both representations). */
-  override def checkInputDataTypes(): TypeCheckResult = {
-    val expected = Seq[(String, Set[DataType])](
-      "url" -> Set(StringType), "html" -> Set(BinaryType, StringType),
-      "text" -> Set(StringType), "lang" -> Set(StringType))
-    children.zip(expected).zipWithIndex.collectFirst {
-      case ((c, (argName, ok)), i) if !ok.contains(c.dataType) =>
-        TypeCheckResult.TypeCheckFailure(
-          s"extract_doc argument $i ($argName) must be ${ok.map(_.sql).mkString(" or ")}, " +
-          s"got ${c.dataType.sql}")
-    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
-  }
+  /** Analysis-time input contract ([[ExtractArgs]], shared with
+    * extract_pages): misuse (e.g. an int html column) fails in the analyzer,
+    * not as a per-row ClassCastException at runtime; html may be BINARY or
+    * STRING; NULL literals are accepted (eval handles them). */
+  override def checkInputDataTypes(): TypeCheckResult =
+    ExtractArgs.check("extract_doc", children)
 
   override def dataType: DataType = DocRow.schema
   override def nullable: Boolean = true
@@ -48,22 +39,12 @@ case class ExtractDocExpr(children: Seq[Expression],
   override def eval(input: InternalRow): Any = {
     val u = children(0).eval(input)
     if (u == null) return null
-    // defense-in-depth below the analyzer's cast: accept either binary or
-    // string payloads (a hand-built plan can bypass ImplicitCastInputTypes)
-    val html = children(1).eval(input) match {
-      case b: Array[Byte] => b
-      case s: UTF8String => s.getBytes
-      case null => null
-      case other => throw new IllegalArgumentException(
-        s"extract_doc: html must be BINARY or STRING, got ${other.getClass.getName}")
-    }
-    val textEv = children(2).eval(input)
-    val langEv = children(3).eval(input)
+    val html = ExtractArgs.htmlBytes("extract_doc", children(1).eval(input))
     val doc = Extractor.extract(
       u.asInstanceOf[UTF8String].toString,
       html,
-      if (textEv == null) "" else textEv.asInstanceOf[UTF8String].toString,
-      if (langEv == null) "" else langEv.asInstanceOf[UTF8String].toString,
+      ExtractArgs.str(children(2).eval(input)),
+      ExtractArgs.str(children(3).eval(input)),
       templates)
     // hand-rolled conversion — the generic encoder serializer is ~10× the
     // kernel cost (see DocRow scaladoc)

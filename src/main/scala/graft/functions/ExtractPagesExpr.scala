@@ -23,17 +23,8 @@ case class ExtractPagesExpr(children: Seq[Expression],
 
   require(children.length == 4, "extract_pages(url, html, text, lang)")
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    val expected = Seq[(String, Set[DataType])](
-      "url" -> Set(StringType), "html" -> Set(BinaryType, StringType),
-      "text" -> Set(StringType), "lang" -> Set(StringType))
-    children.zip(expected).zipWithIndex.collectFirst {
-      case ((c, (argName, ok)), i) if !ok.contains(c.dataType) =>
-        TypeCheckResult.TypeCheckFailure(
-          s"extract_pages argument $i ($argName) must be ${ok.map(_.sql).mkString(" or ")}, " +
-          s"got ${c.dataType.sql}")
-    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    ExtractArgs.check("extract_pages", children)
 
   override def dataType: DataType = ExtractPagesExpr.pagesType
   override def nullable: Boolean = true
@@ -41,20 +32,12 @@ case class ExtractPagesExpr(children: Seq[Expression],
   override def eval(input: InternalRow): Any = {
     val u = children(0).eval(input)
     if (u == null) return null
-    val html = children(1).eval(input) match {
-      case b: Array[Byte] => b
-      case s: UTF8String => s.getBytes
-      case null => null
-      case other => throw new IllegalArgumentException(
-        s"extract_pages: html must be BINARY or STRING, got ${other.getClass.getName}")
-    }
-    val textEv = children(2).eval(input)
-    val langEv = children(3).eval(input)
+    val html = ExtractArgs.htmlBytes("extract_pages", children(1).eval(input))
     val pages = Extractor.extractPages(
       u.asInstanceOf[UTF8String].toString,
       html,
-      if (textEv == null) "" else textEv.asInstanceOf[UTF8String].toString,
-      if (langEv == null) "" else langEv.asInstanceOf[UTF8String].toString,
+      ExtractArgs.str(children(2).eval(input)),
+      ExtractArgs.str(children(3).eval(input)),
       templates)
     val a = new Array[Any](pages.length)
     var i = 0

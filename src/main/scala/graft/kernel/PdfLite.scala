@@ -306,18 +306,33 @@ object PdfLite {
       if (m.contains(o.num)) m else m.updated(o.num, o)
     }
 
-    // page order: the Pages node's /Kids that resolve to /Type /Page objects;
-    // fallback to all /Type /Page objects in file order
-    val pagesNode = objs.find(o => o.dict.contains("/Type /Pages"))
-    val kidPages = pagesNode.toVector
-      .flatMap(p => refsOf(p.dict, "/Kids"))
-      .flatMap(byNum.get)
-      .filter(_.dict.contains("/Type /Page"))
-    val pageObjs =
+    // page order: depth-first /Kids descent from the root Pages node
+    // (intermediate /Type /Pages nodes recurse — real page trees nest);
+    // fallback to all /Type /Page objects in file order. Cycle-safe via a
+    // visited set, depth-capped defensively.
+    def isPagesNode(o: PdfObj): Boolean = o.dict.contains("/Type /Pages")
+    def isPageLeaf(o: PdfObj): Boolean =
+      o.dict.contains("/Type /Page") && !isPagesNode(o)
+    val pagesNode = objs.find(isPagesNode)
+    // each leaf is paired with the nearest ancestor's /MediaBox (PDF
+    // inheritance: a Page without its own box uses the closest Pages box)
+    val kidPages: Vector[(PdfObj, Option[(Int, Int)])] = {
+      val seen = mutable.Set.empty[Int]
+      def descend(o: PdfObj, depth: Int,
+                  inh: Option[(Int, Int)]): Vector[(PdfObj, Option[(Int, Int)])] =
+        if (depth > 32 || !seen.add(o.num)) Vector.empty
+        else if (isPageLeaf(o)) Vector((o, inh))
+        else if (isPagesNode(o)) {
+          val here = mediaBoxOf(o.dict).orElse(inh)
+          refsOf(o.dict, "/Kids").flatMap(byNum.get).flatMap(descend(_, depth + 1, here))
+        } else Vector.empty
+      pagesNode.toVector.flatMap(descend(_, 0, None))
+    }
+    val rootBox = pagesNode.flatMap(p => mediaBoxOf(p.dict))
+    val pageObjs: Vector[(PdfObj, Option[(Int, Int)])] =
       if (kidPages.nonEmpty) kidPages
-      else objs.filter(o => o.dict.contains("/Type /Page") && !o.dict.contains("/Type /Pages"))
+      else objs.filter(isPageLeaf).map(o => (o, rootBox))
 
-    val inheritedBox = pagesNode.flatMap(p => mediaBoxOf(p.dict))
     val items = Vector.newBuilder[TextItem]
     var firstW = 612; var firstH = 792
 
@@ -327,8 +342,8 @@ object PdfLite {
       else s.substring(o.streamStart, o.streamEnd)
 
     if (pageObjs.nonEmpty) {
-      for ((p, idx) <- pageObjs.zipWithIndex) {
-        val (w, h) = mediaBoxOf(p.dict).orElse(inheritedBox).getOrElse((612, 792))
+      for (((p, inh), idx) <- pageObjs.zipWithIndex) {
+        val (w, h) = mediaBoxOf(p.dict).orElse(inh).getOrElse((612, 792))
         if (idx == 0) { firstW = w; firstH = h }
         val contents = refsOf(p.dict, "/Contents").flatMap(byNum.get)
         for (c <- contents) interpret(contentOf(c), h, idx + 1, items)
@@ -489,60 +504,70 @@ object PdfLite {
       TStr(sb.toString)
     }
 
-    def one(): Option[Tok] = {
-      while (i < n && content.charAt(i).isWhitespace) i += 1
-      if (i >= n) return None
-      val c = content.charAt(i)
-      if (c == '(') { i += 1; Some(literalString()) }
-      else if (c == '<') {
-        if (i + 1 < n && content.charAt(i + 1) == '<') { i += 2; Some(TOp("<<")) }
-        else { i += 1; Some(hexStringTok()) }
-      } else if (c == '>') {
-        if (i + 1 < n && content.charAt(i + 1) == '>') { i += 2; Some(TOp(">>")) }
-        else { i += 1; one() }
-      } else if (c == '/') {
-        val start = i + 1
-        i += 1
-        while (i < n && !content.charAt(i).isWhitespace && content.charAt(i) != '/' &&
-               content.charAt(i) != '(' && content.charAt(i) != '[' &&
-               content.charAt(i) != '<' && content.charAt(i) != ']') i += 1
-        Some(TName(content.substring(start, i)))
-      } else if (c == '-' || c == '+' || c == '.' || c.isDigit) {
-        val start = i
-        i += 1
-        while (i < n && (content.charAt(i).isDigit || content.charAt(i) == '.')) i += 1
-        try Some(TNum(content.substring(start, i).toDouble))
-        catch { case _: NumberFormatException => one() }
-      } else if (c == '[') {
-        i += 1
-        val elems = Vector.newBuilder[Tok]
-        var done = false
-        while (!done) {
-          // peek for closing bracket
-          while (i < n && content.charAt(i).isWhitespace) i += 1
-          if (i >= n) done = true
-          else if (content.charAt(i) == ']') { i += 1; done = true }
-          else one() match {
-            case Some(t) => elems += t
-            case None => done = true
-          }
+    val MaxArrayNesting = 32
+
+    // iterative skip-paths (a stream of '- - -' NFE hits or stray ']'s must
+    // not grow the call stack — recursion here is only per ARRAY NESTING
+    // level, which is depth-capped)
+    def one(depth: Int): Option[Tok] = {
+      while (true) {
+        while (i < n && content.charAt(i).isWhitespace) i += 1
+        if (i >= n) return None
+        val c = content.charAt(i)
+        if (c == '(') { i += 1; return Some(literalString()) }
+        else if (c == '<') {
+          if (i + 1 < n && content.charAt(i + 1) == '<') { i += 2; return Some(TOp("<<")) }
+          else { i += 1; return Some(hexStringTok()) }
+        } else if (c == '>') {
+          if (i + 1 < n && content.charAt(i + 1) == '>') { i += 2; return Some(TOp(">>")) }
+          else i += 1 // stray '>': skip, keep scanning
+        } else if (c == '/') {
+          val start = i + 1
+          i += 1
+          while (i < n && !content.charAt(i).isWhitespace && content.charAt(i) != '/' &&
+                 content.charAt(i) != '(' && content.charAt(i) != '[' &&
+                 content.charAt(i) != '<' && content.charAt(i) != ']') i += 1
+          return Some(TName(content.substring(start, i)))
+        } else if (c == '-' || c == '+' || c == '.' || c.isDigit) {
+          val start = i
+          i += 1
+          while (i < n && (content.charAt(i).isDigit || content.charAt(i) == '.')) i += 1
+          try return Some(TNum(content.substring(start, i).toDouble))
+          catch { case _: NumberFormatException => } // not a number: skip, keep scanning
+        } else if (c == '[') {
+          i += 1
+          if (depth < MaxArrayNesting) {
+            val elems = Vector.newBuilder[Tok]
+            var done = false
+            while (!done) {
+              // peek for closing bracket
+              while (i < n && content.charAt(i).isWhitespace) i += 1
+              if (i >= n) done = true
+              else if (content.charAt(i) == ']') { i += 1; done = true }
+              else one(depth + 1) match {
+                case Some(t) => elems += t
+                case None => done = true
+              }
+            }
+            return Some(TArr(elems.result()))
+          } // past the nesting cap: drop the bracket, keep scanning
+        } else if (c == ']') i += 1 // stray ']': skip
+        else {
+          val start = i
+          while (i < n && !content.charAt(i).isWhitespace &&
+                 content.charAt(i) != '(' && content.charAt(i) != '/' &&
+                 content.charAt(i) != '[' && content.charAt(i) != '<' &&
+                 content.charAt(i) != ']') i += 1
+          if (i > start) return Some(TOp(content.substring(start, i)))
+          else i += 1
         }
-        Some(TArr(elems.result()))
-      } else if (c == ']') { i += 1; one() }
-      else {
-        val start = i
-        while (i < n && !content.charAt(i).isWhitespace &&
-               content.charAt(i) != '(' && content.charAt(i) != '/' &&
-               content.charAt(i) != '[' && content.charAt(i) != '<' &&
-               content.charAt(i) != ']') i += 1
-        if (i > start) Some(TOp(content.substring(start, i)))
-        else { i += 1; one() }
       }
+      None // unreachable
     }
 
     val toks = Vector.newBuilder[Tok]
-    var t = one()
-    while (t.isDefined) { toks += t.get; t = one() }
+    var t = one(0)
+    while (t.isDefined) { toks += t.get; t = one(0) }
     toks.result()
   }
 }

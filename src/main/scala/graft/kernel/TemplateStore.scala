@@ -81,9 +81,13 @@ object TemplateStore {
   }
 
   /** Atomic save with optional backup — `save_templates`
-    * (`template.py:134-169`): existing file moves to `<path>.backup`
-    * atomically, new content lands via tmp-file + atomic move. Returns false
-    * (never throws) on I/O failure, cleaning up the tmp file. */
+    * (`template.py:134-169`) semantics, with one deliberate hardening over
+    * the reference: the new content is FULLY WRITTEN to the tmp file before
+    * the old registry is touched (the reference backs up first, so a failed
+    * write leaves no registry at the canonical path at all). Order here:
+    * write tmp → copy old to `.backup` → atomic move tmp into place. A
+    * failure at any step returns false with the previous registry intact.
+    * Never throws; cleans up the tmp file. */
   def save(path: String, templates: Map[String, Template],
            makeBackup: Boolean = true, nowIso: String = ""): Boolean = {
     val p = Paths.get(path)
@@ -93,10 +97,11 @@ object TemplateStore {
       templates.toSeq.sortBy(_._1).foreach { case (vendor, t) =>
         root.set[ObjectNode](vendor, toJson(t, nowIso))
       }
-      if (makeBackup && Files.exists(p))
-        atomicMove(p, Paths.get(path + ".backup"))
       Files.write(tmp, mapper.writerWithDefaultPrettyPrinter()
         .writeValueAsBytes(root))
+      if (makeBackup && Files.exists(p))
+        Files.copy(p, Paths.get(path + ".backup"),
+          StandardCopyOption.REPLACE_EXISTING)
       atomicMove(tmp, p)
       true
     } catch {

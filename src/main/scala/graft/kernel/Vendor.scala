@@ -128,9 +128,21 @@ object Vendor {
     * interactive prompt), followed by the reference pipeline's curated sets
     * ([[pipelineKeywords]]) with first-wins argmax preserving registry
     * priority on ties. */
-  def registryKeywords(templates: Map[String, Template]): Vector[(String, Vector[String])] =
-    templates.keys.toVector.sorted.map(v => v -> Vector(v)) ++
-      pipelineKeywords.filterNot { case (v, _) => templates.contains(v) }
+  def registryKeywords(templates: Map[String, Template]): Vector[(String, Vector[String])] = {
+    // identity memo: the registry is one immutable broadcast-stable map per
+    // job, but this is called per document (and per page in extractPages) —
+    // rebuilding the sorted keyword table millions of times is pure waste
+    val c = kwCache
+    if (c != null && (c._1 eq templates)) c._2
+    else {
+      val v = templates.keys.toVector.sorted.map(v => v -> Vector(v)) ++
+        pipelineKeywords.filterNot { case (v, _) => templates.contains(v) }
+      kwCache = (templates, v)
+      v
+    }
+  }
+
+  @volatile private var kwCache: (Map[String, Template], Vector[(String, Vector[String])]) = null
 
   /** A1 — keyword-scoring vendor detection, `detect_vendor`
     * template.py:259-306: join text of first 50 items, lower-case, score by

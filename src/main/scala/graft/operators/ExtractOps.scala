@@ -21,9 +21,11 @@ import graft.spark.ExtractPipeline
   */
 object ExtractOps {
 
-  /** Committed goldens (absolute so the driver's DuckDB resolves them from
-    * any cwd). */
-  val GoldenDir = "/root/repo/data"
+  /** Committed goldens — resolved to an ABSOLUTE path at query-build time
+    * (the oracle SQL ships to the driver's DuckDB, whose cwd is unknown);
+    * overridable for non-standard checkouts via GRAFT_GOLDEN_DIR. */
+  val GoldenDir: String = sys.env.getOrElse("GRAFT_GOLDEN_DIR",
+    new java.io.File("data").getAbsolutePath)
 
   /** Pages per `documents` row — sf0.001/0.01/0.1 → 200/2 000/20 000 pages. */
   val PagesPerDoc = 4L
@@ -31,17 +33,39 @@ object ExtractOps {
   private def nDocs(spark: SparkSession, dir: String): Long =
     OpsCommon.table(spark, dir, "documents").count()
 
+  /** Content fingerprint of the current corpus DEFINITION (samples a few
+    * generated pages): a generator change invalidates the cache instead of
+    * silently serving pages from an older build. */
+  private lazy val corpusFingerprint: String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    for (i <- Seq(0L, 7L, 123L, 999L)) {
+      val p = graft.kernel.Corpus.page(i)
+      d.update(p.html); d.update(p.text.getBytes("UTF-8"))
+    }
+    d.digest().map(b => f"$b%02x").mkString.take(12)
+  }
+
   /** The sf-sized synthetic corpus as a PARQUET TABLE, materialized once per
-    * size under the JVM temp dir and re-read thereafter (generation —
-    * including Flate compression — is corpus CREATION, not query work; the
-    * extraction queries should scan a table exactly like production scans
-    * the crawl). Pure (seed, index) generation makes the cache safely
-    * reusable across sessions; `_SUCCESS` guards partial writes. */
+    * (size, corpus-fingerprint) under the JVM temp dir and re-read
+    * thereafter (generation — including Flate compression — is corpus
+    * CREATION, not query work; the extraction queries should scan a table
+    * exactly like production scans the crawl). Cross-process safe: the
+    * corpus is written to a private temp dir and PUBLISHED by atomic rename;
+    * a lost race just discards the duplicate. */
   private def cachedPages(spark: SparkSession, n: Long): DataFrame = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_corpus_cache/pages_$n"
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_corpus_cache"
+    val path = s"$base/pages_${n}_$corpusFingerprint"
     ExtractOps.synchronized {
-      if (!new java.io.File(s"$path/_SUCCESS").exists())
-        ExtractPipeline.pages(spark, n).write.mode("overwrite").parquet(path)
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        val tmp = s"$path.build${System.nanoTime()}"
+        ExtractPipeline.pages(spark, n).write.mode("overwrite").parquet(tmp)
+        try Files.move(Paths.get(tmp), Paths.get(path),
+          StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: Exception => // another process won the race
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+        }
+      }
     }
     spark.read.parquet(path)
   }

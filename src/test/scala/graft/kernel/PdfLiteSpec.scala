@@ -125,6 +125,46 @@ class PdfLiteSpec extends AnyFunSuite {
     assert(parsed.items.exists(_.page == 2) && parsed.items.exists(_.page == 3))
   }
 
+  test("nested /Kids trees: intermediate Pages nodes recurse, inheritance follows") {
+    val pdf = ("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R 6 0 R] /Count 3 /MediaBox [0 0 400 400] >> endobj\n" +
+      // intermediate Pages node with its own MediaBox, two leaf pages
+      "3 0 obj << /Type /Pages /Kids [4 0 R 5 0 R] /Count 2 /MediaBox [0 0 300 300] >> endobj\n" +
+      "4 0 obj << /Type /Page /Contents 7 0 R >> endobj\n" +
+      "5 0 obj << /Type /Page /Contents 8 0 R >> endobj\n" +
+      // direct leaf under the root (inherits the ROOT box)
+      "6 0 obj << /Type /Page /Contents 9 0 R >> endobj\n" +
+      "7 0 obj << /Length 44 >> stream\nBT /F1 10 Tf 1 0 0 1 10 280 Tm (p1) Tj ET\nendstream endobj\n" +
+      "8 0 obj << /Length 44 >> stream\nBT /F1 10 Tf 1 0 0 1 10 280 Tm (p2) Tj ET\nendstream endobj\n" +
+      "9 0 obj << /Length 44 >> stream\nBT /F1 10 Tf 1 0 0 1 10 380 Tm (p3) Tj ET\nendstream endobj\n" +
+      "%%EOF\n").getBytes(StandardCharsets.ISO_8859_1)
+    val parsed = PdfLite.parse(pdf)
+    assert(parsed.nPages == 3, s"nested tree flattened: ${parsed.nPages} pages")
+    assert(parsed.items.map(i => (i.text, i.page)) ==
+      Vector(("p1", 1), ("p2", 2), ("p3", 3)), parsed.items)
+    // pages 1/2 inherit the INTERMEDIATE box (h=300): yTop = 300-280-10 = 10
+    // page 3 inherits the ROOT box (h=400): yTop = 400-380-10 = 10
+    assert(parsed.items.map(_.y) == Vector(10, 10, 10), parsed.items.map(_.y))
+    // a cyclic /Kids reference must not loop
+    val cyclic = ("%PDF-1.4\n2 0 obj << /Type /Pages /Kids [2 0 R 3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /MediaBox [0 0 100 100] /Contents 4 0 R >> endobj\n" +
+      "4 0 obj << /Length 40 >> stream\nBT (x) Tj ET\nendstream endobj\n%%EOF\n")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfLite.parse(cyclic).nPages == 1)
+  }
+
+  test("pathological token streams stay stack-safe (NFE runs, deep arrays)") {
+    val dashes = "BT " + ("- . + " * 20000) + "(ok) Tj ET"
+    val deep = "BT " + ("[ " * 20000) + "(x)" + (" ]" * 20000) + " TJ ET"
+    for (body <- Seq(dashes, deep)) {
+      val pdf = ("%PDF-1.4\n2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+        "3 0 obj << /Type /Page /MediaBox [0 0 200 200] /Contents 4 0 R >> endobj\n" +
+        s"4 0 obj << /Length ${body.length} >> stream\n" + body +
+        "\nendstream endobj\n%%EOF\n").getBytes(StandardCharsets.ISO_8859_1)
+      PdfLite.parse(pdf) // must not throw StackOverflowError
+    }
+  }
+
   test("round-1 dialect (no explicit write path) still parses via the object tree") {
     val legacy = PdfLite.write(1700, 1200, Seq(
       PdfLite.Run(40, 300, 12, "legacy run")), scanned = true)

@@ -107,6 +107,12 @@ class ExtractE2ESpec extends SparkTestBase {
       "SELECT extract_doc(url, html, text, lang).extractedText FROM str_pages_spec")
       .as[String].collect()
     assert(rows.sameElements(Array("hi")))
+
+    // NULL literals pass analysis and eval (text/lang default to "")
+    val viaNull = spark.sql(
+      "SELECT extract_doc(url, html, NULL, NULL).extractedText FROM str_pages_spec")
+      .as[String].collect()
+    assert(viaNull.sameElements(Array("hi")))
   }
 
   test("extract_doc SQL expression agrees with the typed path") {
