@@ -102,6 +102,41 @@ class PlanQualitySpec extends SparkTestBase {
       s"as-of degenerated to a product join:\n$p")
   }
 
+  test("bucketed tables co-locate the join: no Exchange on either side") {
+    import org.apache.spark.sql.functions._
+    // the 100 TB co-located-join story: two tables bucketed on the join key
+    // at write time join WITHOUT any shuffle — the physical plan has zero
+    // Exchange nodes (vs two full shuffles for unbucketed parquet)
+    val wh = java.nio.file.Files.createTempDirectory("graft_bucket_spec").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS bspec LOCATION '$wh'")
+    try {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("source"), col("lang"))
+      val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+      docs.write.bucketBy(8, "doc_id").sortBy("doc_id")
+        .mode("overwrite").saveAsTable("bspec.docs_b")
+      toks.write.bucketBy(8, "doc_id").sortBy("doc_id")
+        .mode("overwrite").saveAsTable("bspec.toks_b")
+      // disable broadcast so the planner must pick the bucket-aware SMJ (at
+      // real scale neither side is broadcastable — that is the case bucketing
+      // exists for; sf0.001 tables would otherwise be broadcast)
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = spark.table("bspec.docs_b")
+          .join(spark.table("bspec.toks_b"), "doc_id")
+        val p = joined.queryExecution.executedPlan.toString
+        assert(!p.contains("Exchange"),
+          s"bucketed join still shuffles:\n$p")
+        assert(p.contains("SortMergeJoin"), p)
+        assert(joined.count() == docs.count())
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    } finally {
+      spark.sql("DROP DATABASE IF EXISTS bspec CASCADE")
+    }
+  }
+
   test("salted repartition spreads giant-doc bytes evenly across tasks") {
     import org.apache.spark.sql.functions._
     // corpus plants one ~70x giant per 1000 docs; without salting these
