@@ -82,7 +82,11 @@ object Bench {
   private def scalingRuns(lo: Int, hi: Int, corpusPath: String, outDir: String, reps: Int)
       : (Seq[ExtractJob.Metrics], Seq[ExtractJob.Metrics]) = {
     val budgetSec = sys.env.getOrElse("GRAFT_BENCH_BUDGET_SEC", "1500").toInt
-    val minReps = math.min(4, reps)
+    // noise windows last MINUTES: a run must span more wall-clock than one
+    // window or both minima sit inside it (a 5-pair run measured 0.735 while
+    // converged runs of the same build measured 0.84-0.87) — hence ≥5 pairs
+    // and three stale rounds before stopping
+    val minReps = math.min(5, reps)
     val t0 = System.nanoTime()
     val rLo = Seq.newBuilder[ExtractJob.Metrics]
     val rHi = Seq.newBuilder[ExtractJob.Metrics]
@@ -100,7 +104,7 @@ object Bench {
       bestHi = math.min(bestHi, mHi.wallSec)
       staleRounds = if (improved) 0 else staleRounds + 1
       val elapsed = (System.nanoTime() - t0) / 1e9
-      done = (r >= minReps && (staleRounds >= 2 || elapsed > budgetSec)) ||
+      done = (r >= minReps && (staleRounds >= 3 || elapsed > budgetSec)) ||
         // hard stop: a pathological noise window (single reps of 900s were
         // observed) must not hold the whole bench hostage — past 2× budget,
         // two pairs are enough to report
