@@ -19,6 +19,7 @@ import graft.spark.{ExtractJob, ExtractPipeline}
   *
   * Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, GRAFT_BENCH_DOCS
   * (default 300000), GRAFT_BENCH_REPS (10, convergence early-stop),
+  * GRAFT_BENCH_QUERY_REPS (3, best-of for each headline query),
   * GRAFT_BENCH_BUDGET_SEC (1500), GRAFT_BENCH_N (2),
   * GRAFT_BENCH_SKIP_SCALING=1.
   */
@@ -134,16 +135,36 @@ object Bench {
     val skipScaling = sys.env.get("GRAFT_BENCH_SKIP_SCALING").contains("1")
 
     // ---- headline queries ----
+    // Round-2 lesson (VERDICT r02 §wrong 1): one timed run after one warmup
+    // let a multi-minute degraded-VM window write an 8-100× inflated number
+    // into the round record (176.8 s recorded for a ~13 s build). Each query
+    // now gets best-of-QUERY_REPS timed reps with the per-rep array in the
+    // artifact, and the one-time corpus-cache build happens before any timer.
     val spark = session(cpus)
+    try graft.operators.ExtractOps.prewarmCorpus(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] corpus prewarm failed: ${e.getMessage}") }
+    val queryReps = sys.env.getOrElse("GRAFT_BENCH_QUERY_REPS", "3").toInt
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val repArrays = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     for (name <- headline; fn <- SparkEntry.queries.get(name)) {
-      // warm (plan + scan caches), then time
+      // warm (plan + scan caches), then best-of-N timed reps
       try {
         fn(spark, sfDir).count()
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        times(name) = (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => times(name) = -1.0 }
+        val rs = (1 to queryReps).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        times(name) = rs.min
+        repArrays(name) = rs
+      } catch { case e: Throwable =>
+        // an explicit error marker: a broken query must FLAG the bench line,
+        // not silently shrink the total
+        errors(name) = (e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage))
+          .replaceAll("""[^A-Za-z0-9 .:_/()\[\]-]""", " ").take(160)
+      }
     }
     spark.stop()
 
@@ -168,13 +189,36 @@ object Bench {
       // supplementary estimator: per-pair efficiency (each pair's N and 4N
       // runs share the same noise window, so their RATIO is window-immune
       // even when absolute times are inflated), median across pairs
-      val pairEffs = allLo.zip(allHi)
-        .map { case (lo, hi) => (hi.docsPerSec / lo.docsPerSec) / 4.0 }
-        .sorted
-      val pairEffMedian =
-        if (pairEffs.isEmpty) 0.0
-        else if (pairEffs.length % 2 == 1) pairEffs(pairEffs.length / 2)
-        else (pairEffs(pairEffs.length / 2 - 1) + pairEffs(pairEffs.length / 2)) / 2.0
+      def median(xs: Seq[Double]): Double =
+        if (xs.isEmpty) 0.0
+        else {
+          val s = xs.sorted
+          if (s.length % 2 == 1) s(s.length / 2)
+          else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+        }
+      val pairs = allLo.zip(allHi)
+      val pairEffs = pairs.map { case (lo, hi) => (hi.docsPerSec / lo.docsPerSec) / 4.0 }
+      val pairEffMedian = median(pairEffs)
+      // TRIMMED pair estimator (VERDICT r02 §wrong 2): the raw pair median
+      // collapses when one rep of a pair lands in a degraded window the other
+      // escapes (per-rep arrays showed 763.8s next to 25.8s at the same
+      // level). Both reps of a pair run back-to-back, so dropping pairs where
+      // EITHER rep exceeds 2× its level minimum removes exactly the
+      // window-straddling pairs — the trim criterion reads only absolute
+      // times, never the efficiency, so it cannot bias the number.
+      val loMin = pairs.map(_._1.wallSec).min
+      val hiMin = pairs.map(_._2.wallSec).min
+      val kept = pairs.filter { case (lo, hi) =>
+        lo.wallSec <= 2.0 * loMin && hi.wallSec <= 2.0 * hiMin }
+      val pairEffTrimmed = median(
+        kept.map { case (lo, hi) => (hi.docsPerSec / lo.docsPerSec) / 4.0 })
+      val nTrimmed = pairs.length - kept.length
+      val estimatorNote = "scaling_efficiency = best-per-level (VM noise only slows runs; " +
+        "minima are consistent estimators); pair_eff_trimmed = median over pairs with both " +
+        "reps within 2x their level minimum (reps of a pair run back-to-back, so the trim " +
+        "drops window-straddling pairs on absolute time alone - efficiency-blind); " +
+        "pair_eff_median = untrimmed median, reported for transparency, collapses when one " +
+        "rep of a pair straddles a degraded window"
       val m32 = extractOnce(32, corpusPath, s"$tmp/out32", 1)
       def secs(ms: Seq[ExtractJob.Metrics]) =
         ms.map(m => f"${m.wallSec}%.2f").mkString("[", ",", "]")
@@ -185,7 +229,9 @@ object Bench {
         f""""t4N_sec":${mHi.wallSec}%.2f,"t4N_docs_per_sec":${mHi.docsPerSec}%.1f,"t4N_mb_per_sec":${mHi.mbPerSec}%.2f,""" +
         f""""tN_all_sec":${secs(allLo)},"t4N_all_sec":${secs(allHi)},""" +
         f""""peak32_docs_per_sec":${m32.docsPerSec}%.1f,"peak32_mb_per_sec":${m32.mbPerSec}%.2f,""" +
-        f""""scaling_efficiency":$eff%.3f,"pair_eff_median":$pairEffMedian%.3f}"""
+        f""""scaling_efficiency":$eff%.3f,"pair_eff_median":$pairEffMedian%.3f,""" +
+        f""""pair_eff_trimmed":$pairEffTrimmed%.3f,"pairs_trimmed":$nTrimmed,""" +
+        f""""estimator_note":"$estimatorNote"}"""
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     } catch {
       case e: Throwable =>
@@ -217,8 +263,12 @@ object Bench {
     }
 
     val qs = times.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    val total = times.values.filter(_ >= 0).sum
+    val repsJson = repArrays.map { case (k, rs) =>
+      s""""$k":${rs.map(r => f"$r%.3f").mkString("[", ",", "]")}""" }
+      .mkString("{", ",", "}")
+    val errs = errors.map { case (k, m) => s""""$k":"$m"""" }.mkString("{", ",", "}")
+    val total = times.values.sum
     println(
-      f"""{"metric":"headline_queries_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","byte_identical_pass_rate":$passRate%.4f,"extract_scaling":$scalingJson}""")
+      f"""{"metric":"headline_queries_total","value":$total%.3f,"unit":"sec","queries":$qs,"query_reps":$repsJson,"query_reps_note":"per-query value = min of $queryReps timed reps after one warm run; rep arrays expose degraded-VM windows","n_query_errors":${errors.size},"query_errors":$errs,"sf":"$sfDir","byte_identical_pass_rate":$passRate%.4f,"extract_scaling":$scalingJson}""")
   }
 }

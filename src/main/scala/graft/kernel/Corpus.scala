@@ -18,6 +18,12 @@ import java.nio.charset.StandardCharsets
   */
 object Corpus {
 
+  /** Bump on ANY change to this file or to [[PdfLite.writeDoc]]'s output —
+    * the constant is folded into [[graft.operators.ExtractOps]]'s corpus-cache
+    * fingerprint, so bumping it invalidates every materialized corpus cache
+    * even if the hashed sample pages happen to be byte-identical. */
+  val GeneratorVersion = 3
+
   final case class PageRow(url: String, warc_ts: java.sql.Timestamp,
                            html: Array[Byte], text: String, lang: String)
 

@@ -132,12 +132,15 @@ object DedupOps {
 
   /** MinHash signature per doc: min over shingles of each permuted hash.
     * Signatures are computed over the stop-shingle-filtered universe so
-    * candidates, sizes and verification agree on one definition of "shingle". */
-  private def minhashSigs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shinglesFiltered(spark, dir).withColumn("h", hash31(col("g")))
+    * candidates, sizes and verification agree on one definition of "shingle".
+    * Takes the ALREADY-CACHED filtered-shingle frame so the shingle explode +
+    * hot-shingle census runs once per query, shared with the verify stage
+    * (recomputing it doubled q20's cold cost — VERDICT r02 §wrong 3). */
+  private def minhashSigs(sh: DataFrame): DataFrame = {
+    val hashed = sh.withColumn("h", hash31(col("g")))
     val aggs = (0 until MinhashPerms).map(i =>
       min((col("h") * permA(i) + permB(i)) % MinhashP).as(s"mh_$i"))
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   private val minhashSigsSql: String = {
@@ -156,7 +159,10 @@ object DedupOps {
     * its skew is governed by band-bucket sizes, not document count, and r=2
     * banding keeps those buckets sparse (see [[LshBands]]). */
   def q20MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSigs(spark, dir).cache()
+    // ONE cached filtered-shingle frame feeds both the signature build and
+    // the verification join — the census aggregate appears once in the plan
+    val sh = shinglesFiltered(spark, dir).select(col("doc_id"), col("g")).cache()
+    val sigs = minhashSigs(sh).cache()
     // unpivot to (doc_id, band, bandKey) — bandKey joins the r row minhashes
     val bandCols = (0 until LshBands).flatMap(i =>
       Seq(lit(i), concat_ws("|",
@@ -169,8 +175,7 @@ object DedupOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    // verify candidates with exact shingle Jaccard
-    val sh = shinglesFiltered(spark, dir).select(col("doc_id"), col("g")).cache()
+    // verify candidates with exact shingle Jaccard (same cached frame)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = cand
       .join(sh.select(col("doc_id").as("id_a"), col("g")), "id_a")

@@ -23,9 +23,23 @@ object ExtractOps {
 
   /** Committed goldens — resolved to an ABSOLUTE path at query-build time
     * (the oracle SQL ships to the driver's DuckDB, whose cwd is unknown);
-    * overridable for non-standard checkouts via GRAFT_GOLDEN_DIR. */
-  val GoldenDir: String = sys.env.getOrElse("GRAFT_GOLDEN_DIR",
-    new java.io.File("data").getAbsolutePath)
+    * overridable for non-standard checkouts via GRAFT_GOLDEN_DIR. Resolution
+    * walks UP from the compiled-classes/jar location to the repo root
+    * (`data/golden_docs.parquet` is the marker) so running from any working
+    * directory still finds the committed goldens; cwd is only the last
+    * fallback. */
+  val GoldenDir: String = sys.env.get("GRAFT_GOLDEN_DIR").getOrElse {
+    def hasGolden(f: java.io.File): Boolean =
+      new java.io.File(f, "data/golden_docs.parquet").isFile
+    val fromCode =
+      try Option(getClass.getProtectionDomain.getCodeSource)
+        .map(cs => new java.io.File(cs.getLocation.toURI))
+        .flatMap(start => Iterator.iterate(start)(_.getParentFile)
+          .takeWhile(_ != null).take(8).find(hasGolden))
+      catch { case _: Exception => None }
+    val base = fromCode.getOrElse(new java.io.File(".").getAbsoluteFile.getParentFile)
+    new java.io.File(base, "data").getAbsolutePath
+  }
 
   /** Pages per `documents` row — sf0.001/0.01/0.1 → 200/2 000/20 000 pages. */
   val PagesPerDoc = 4L
@@ -33,17 +47,33 @@ object ExtractOps {
   private def nDocs(spark: SparkSession, dir: String): Long =
     OpsCommon.table(spark, dir, "documents").count()
 
-  /** Content fingerprint of the current corpus DEFINITION (samples a few
-    * generated pages): a generator change invalidates the cache instead of
-    * silently serving pages from an older build. */
-  private lazy val corpusFingerprint: String = {
+  /** Fingerprint sample: a contiguous 300-page prefix (for the fixed seed
+    * this deterministically exercises every routine generator branch —
+    * html/table, all three vendors and langs, multi-page /Kids trees, Flate,
+    * TJ kerning, hex strings, scanned) plus explicit giant-doc indices (the
+    * 1/1000 branch the prefix misses). CorpusFingerprintSpec asserts the
+    * branch coverage so a sampling regression fails the build. */
+  val FingerprintPrefix = 300L
+  val FingerprintGiants: Seq[Long] = Seq(999L, 1999L, 2999L, 3999L, 19999L)
+
+  private[operators] def corpusFingerprintFor(seed: Long): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
-    for (i <- Seq(0L, 7L, 123L, 999L)) {
-      val p = graft.kernel.Corpus.page(i)
-      d.update(p.html); d.update(p.text.getBytes("UTF-8"))
+    // explicit version constant: bumping Corpus.GeneratorVersion invalidates
+    // caches even for changes the sampled bytes can't see
+    d.update(s"corpus-v${graft.kernel.Corpus.GeneratorVersion}".getBytes("UTF-8"))
+    for (i <- (0L until FingerprintPrefix) ++ FingerprintGiants) {
+      val p = graft.kernel.Corpus.page(i, seed)
+      d.update(p.url.getBytes("UTF-8")); d.update(p.html)
+      d.update(p.text.getBytes("UTF-8")); d.update(p.lang.getBytes("UTF-8"))
     }
     d.digest().map(b => f"$b%02x").mkString.take(12)
   }
+
+  /** Content fingerprint of the current corpus DEFINITION: a generator change
+    * invalidates the cache instead of silently serving pages from an older
+    * build (VERDICT r02 §wrong 4 — the old 4-index sample missed whole
+    * branches). */
+  private lazy val corpusFingerprint: String = corpusFingerprintFor(42L)
 
   /** The sf-sized synthetic corpus as a PARQUET TABLE, materialized once per
     * (size, corpus-fingerprint) under the JVM temp dir and re-read
@@ -72,6 +102,15 @@ object ExtractOps {
 
   private def corpusPages(spark: SparkSession, dir: String): DataFrame =
     cachedPages(spark, PagesPerDoc * nDocs(spark, dir))
+
+  /** Build the corpus parquet caches for `dir` WITHOUT running a query —
+    * benchmarks call this untimed so one-time corpus generation (Flate
+    * compression included) never lands inside a timed window. */
+  def prewarmCorpus(spark: SparkSession, dir: String): Unit = {
+    val n = nDocs(spark, dir)
+    cachedPages(spark, PagesPerDoc * n)
+    cachedPages(spark, n) // q27's slice
+  }
 
   private def extracted(spark: SparkSession, dir: String): DataFrame =
     ExtractPipeline.extractDf(corpusPages(spark, dir))
