@@ -130,6 +130,15 @@ object DedupOps {
   val LshRows = 2
   require(LshBands * LshRows == MinhashPerms, "banding must cover the signature")
 
+  /** Hot-bucket salting for the band join ([[OpsCommon.saltedSelfPairs]]):
+    * a band bucket holding more than [[LshHotBucketCap]] docs has its pairs
+    * spread across [[LshSalts]] tasks. At the sandbox sf no bucket crosses
+    * the cap (the census + broadcast still run, proving the plan); at 10^12
+    * docs this is what turns a pathological m²-pair straggler into m²/salts
+    * per task. */
+  val LshHotBucketCap = 256
+  val LshSalts = 8
+
   /** MinHash signature per doc: min over shingles of each permuted hash.
     * Signatures are computed over the stop-shingle-filtered universe so
     * candidates, sizes and verification agree on one definition of "shingle".
@@ -169,11 +178,9 @@ object DedupOps {
         (0 until LshRows).map(r => col(s"mh_${i * LshRows + r}")): _*)))
     val buckets = sigs
       .select(col("doc_id"), explode(map(bandCols: _*)).as(Seq("band", "bval")))
-    val cand = buckets.as("a")
-      .join(buckets.as("b"),
-        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val cand = saltedSelfPairs(buckets, Seq("band", "bval"), "doc_id",
+        hotCap = LshHotBucketCap, nSalts = LshSalts)
+      .select(col("id_a"), col("id_b"))
       .distinct()
     // verify candidates with exact shingle Jaccard (same cached frame)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))

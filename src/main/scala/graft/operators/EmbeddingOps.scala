@@ -113,6 +113,11 @@ object EmbeddingOps {
     * exact-cosine stage verifies every surviving candidate. */
   val NeardupBands = 2
 
+  /** Hot-bucket salting bounds for the candidate band join (same guard as
+    * [[DedupOps.LshHotBucketCap]] — see [[OpsCommon.saltedSelfPairs]]). */
+  val NeardupHotCap = 256
+  val NeardupSalts = 8
+
   /** q24_emb_neardup — embedding-cosine near-dup pairs within a label block,
     * with a sign-LSH candidate stage: pairs must share a sign bucket in some
     * band BEFORE any cosine is computed. The pair stage is bounded by
@@ -127,12 +132,9 @@ object EmbeddingOps {
       .cache()
     val buckets = e.select(col("vec_id"), col("label"),
       explode(map(lit(0), col("b0"), lit(1), col("b1"))).as(Seq("band", "bkt")))
-    val cand = buckets.as("a")
-      .join(buckets.as("b"),
-        col("a.label") === col("b.label") && col("a.band") === col("b.band") &&
-          col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.label").as("label"), col("a.vec_id").as("id_a"),
-        col("b.vec_id").as("id_b"))
+    val cand = saltedSelfPairs(buckets, Seq("label", "band", "bkt"), "vec_id",
+        hotCap = NeardupHotCap, nSalts = NeardupSalts)
+      .select(col("label"), col("id_a"), col("id_b"))
       .distinct()
     cand
       .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")

@@ -87,6 +87,48 @@ object OpsCommon {
   def cosine(a: Column, b: Column): Column =
     round(dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b))), 4)
 
+  /** Self-join candidate-pair generation over bucket keys WITH hot-bucket
+    * salting — the 10^12-doc guard for LSH band joins (README §scale): a
+    * single pathological band bucket of m rows otherwise produces one m²-pair
+    * straggler task.
+    *
+    * Dataflow: (1) census `groupBy(keys).count` — one partial-agg shuffle of
+    * the (small) bucket frame; (2) buckets holding more than `hotCap` rows
+    * are broadcast as the hot set; (3) the left side gets a deterministic
+    * per-row salt in [0, nSalts) for hot rows (salt 0 otherwise), the right
+    * side REPLICATES hot rows to every salt — so each qualifying pair matches
+    * exactly once, but a hot bucket's pairs spread across nSalts tasks
+    * (m²/nSalts per task instead of m²). Cold buckets join exactly as before
+    * (both sides salt 0, no replication).
+    *
+    * The pair SET is identical to the unsalted join — DuckDB oracles are
+    * unaffected. Output: `keys ++ (id_a, id_b, salt)` with id_a < id_b, NOT
+    * deduplicated across buckets (callers `.distinct()` after dropping salt,
+    * exactly as with the plain join). */
+  def saltedSelfPairs(buckets: DataFrame, keys: Seq[String], id: String,
+                      hotCap: Int, nSalts: Int): DataFrame = {
+    val keyCols = keys.map(col)
+    val hot = buckets.groupBy(keyCols: _*).agg(count(lit(1)).as("bkt_n"))
+      .filter(col("bkt_n") > hotCap)
+      .select(keyCols :+ lit(true).as("is_hot"): _*)
+    val tagged = buckets.join(broadcast(hot), keys, "left")
+      .withColumn("is_hot", coalesce(col("is_hot"), lit(false)))
+    // deterministic salt (Murmur3 of the id): reproducible runs, and the salt
+    // never reaches the oracle-compared output
+    val a = tagged.withColumn("salt",
+      when(col("is_hot"), pmod(hash(col(id)), lit(nSalts))).otherwise(lit(0)))
+    val b = tagged.withColumn("salt",
+      explode(when(col("is_hot"), sequence(lit(0), lit(nSalts - 1)))
+        .otherwise(array(lit(0)))))
+    val cond = keys.map(k => col(s"a.$k") === col(s"b.$k"))
+      .reduce(_ && _) && col("a.salt") === col("b.salt") &&
+      col(s"a.$id") < col(s"b.$id")
+    a.as("a").join(b.as("b"), cond)
+      .select(keys.map(k => col(s"a.$k").as(k)) ++
+        Seq(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"),
+            col("a.salt").as("salt")): _*)
+  }
+
   /** DuckDB mirrors (list_zip yields structs indexed x[1]/x[2]). */
   def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), x -> x[1]*x[2]))"
