@@ -233,12 +233,13 @@ object ExtractOps {
       |  ('tets', '', 0.0)) AS t(probe, matched, ratio)
       |ORDER BY probe""".stripMargin
 
-  /** q29_multimodal — multimodal decode plumbing: binary media column →
-    * typed Dataset map (Scala analog of a mapInPandas decode batch) → typed
-    * metadata/features → rollup, sized by the sf dir. Decode itself is the
-    * documented stub ([[graft.kernel.Multimodal.decode]]);
-    * schema/partitioning/batching are real, and the committed golden metas
-    * give it a cross-engine oracle. */
+  /** q29_multimodal — multimodal decode: binary media column → typed Dataset
+    * map (Scala analog of a mapInPandas decode batch) → typed
+    * metadata/features → rollup, sized by the sf dir. PNG/JPEG/BMP payloads
+    * are decoded for REAL by the JDK `javax.imageio` codecs
+    * ([[graft.kernel.Multimodal.decode]]); audio/video ride the documented
+    * GMB stand-in container. The committed golden metas give the whole family
+    * a cross-engine oracle. */
   def q29Multimodal(spark: SparkSession, dir: String): DataFrame = {
     implicit val enc = Encoders.product[Multimodal.MediaMeta]
     val metas = spark.range(0, PagesPerDoc * nDocs(spark, dir), 1, 8)

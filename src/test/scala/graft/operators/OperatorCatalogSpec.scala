@@ -91,7 +91,7 @@ class OperatorCatalogSpec extends SparkTestBase {
     val m1 = Multimodal.decode(7, Multimodal.blob(7))
     val m2 = Multimodal.decode(7, Multimodal.blob(7))
     assert(m1 == m2)
-    assert(m1.failure.isEmpty && m1.width >= 16 && m1.channels >= 1)
+    assert(m1.failure.isEmpty && m1.width >= 8 && m1.channels >= 1)
     assert(m1.features.length == m1.channels)
     assert(Multimodal.decode(1, Array[Byte](1, 2)).failure == "truncated")
     assert(Multimodal.decode(1, "notmagicbytes!!".getBytes).failure == "bad_magic")
