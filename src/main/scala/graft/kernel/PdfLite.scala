@@ -12,12 +12,22 @@ import scala.collection.mutable
   *  - object structure `N G obj … endobj`, page tree `/Type /Pages` →
   *    `/Kids [...]` → `/Type /Page` (ordered, per-page `/MediaBox` with
   *    inheritance from the Pages node), `/Contents` single ref or array;
+  *  - classic cross-reference tables (§7.5.4): `startxref` → newest table →
+  *    `/Prev` chain, newest-section-wins — incremental updates resolve to
+  *    the live object definition, and the trailer `/Root` selects the
+  *    authoritative page tree;
+  *  - object streams (§7.5.7): `/Type /ObjStm` containers are inflated and
+  *    their embedded dict-only objects (Catalog/Pages/Page nodes in real
+  *    files) recovered by scan, no xref stream required;
   *  - content streams, optionally `/Filter /FlateDecode` compressed
   *    (`java.util.zip.Inflater` — zlib is public knowledge; output capped at
   *    [[InflateCap]] as decompression-bomb defense);
   *  - text operators `BT ET Tf Td TD Tm T* Tj TJ` over literal `(...)` and
   *    hex `<...>` strings; `TJ` arrays apply the standard kerning advance
   *    `tx = −n/1000 × fontSize`;
+  *  - simple font encodings: `/Resources → /Font → /Encoding
+  *    /WinAnsiEncoding` re-reads shown strings as windows-1252 (smart
+  *    quotes, dashes, € in 0x80–0x9F), tracked per Tf font;
   *  - tolerant everywhere: unknown operators are skipped, malformed streams
   *    yield the items recovered so far, files with no recognizable page tree
   *    fall back to "every stream is page 1" (failure isolation happens per
@@ -73,13 +83,24 @@ object PdfLite {
     sb.toString
   }
 
+  /** Writer text-encoding contract (ADVICE r02): the serialized byte per char
+    * is the char's code point under the doc's DECLARED encoding — Latin-1 by
+    * default, windows-1252 when the doc declares `/WinAnsiEncoding`. A char
+    * the encoding cannot represent becomes a literal '?' HERE, explicitly and
+    * deterministically, instead of corrupting silently inside
+    * `getBytes(ISO_8859_1)` downstream. */
+  private def encodeText(t: String, winAnsi: Boolean): String =
+    if (winAnsi) new String(t.getBytes("windows-1252"), Latin1)
+    else t.map(c => if (c > 0xff) '?' else c)
+
   /** Per-page content stream. Runs on the same y share a line: the first run
     * of a line is positioned absolutely (Tm), subsequent runs relatively (Td)
     * — exercising both parser paths. `tjEvery`/`hexEvery` (0 = never) emit
     * every k-th run as a kerned `TJ` array (words separated by −600 kerning ≡
     * one space width under the monospace metric) / as a hex string — so the
     * corpus itself exercises those parser paths. */
-  private def pageContent(p: PageSpec, tjEvery: Int, hexEvery: Int): String = {
+  private def pageContent(p: PageSpec, tjEvery: Int, hexEvery: Int,
+                          winAnsi: Boolean = false): String = {
     val content = new java.lang.StringBuilder
     content.append("BT\n")
     var curSize = -1
@@ -98,18 +119,19 @@ object PdfLite {
         content.append(s"${r.x - curX} ${yPdf - curY} Td\n")
         curX = r.x; curY = yPdf
       }
-      val asTj = tjEvery > 0 && idx % tjEvery == tjEvery - 1 && r.text.contains(' ')
+      val enc = encodeText(r.text, winAnsi)
+      val asTj = tjEvery > 0 && idx % tjEvery == tjEvery - 1 && enc.contains(' ')
       val asHex = hexEvery > 0 && idx % hexEvery == hexEvery - 1
       if (asTj) {
         // kerned array: words advance by exactly one space width each
-        val words = r.text.split(" ", -1)
+        val words = enc.split(" ", -1)
         content.append(words.map { w =>
           if (asHex) hexString(w) else s"(${escape(w)})"
         }.mkString("[ ", " -600 ", " ] TJ\n"))
       } else if (asHex) {
-        content.append(s"${hexString(r.text)} Tj\n")
+        content.append(s"${hexString(enc)} Tj\n")
       } else {
-        content.append(s"(${escape(r.text)}) Tj\n")
+        content.append(s"(${escape(enc)}) Tj\n")
       }
     }
     content.append("ET\n")
@@ -129,31 +151,96 @@ object PdfLite {
   /** Serialize a multi-page document. `scanned = true` adds an image XObject
     * marker so the router's detect analog (`smart_extract.py:30-62`: images +
     * no meaningful text ⇒ scanned) has something to sniff; `compress` Flate-
-    * encodes every content stream. */
+    * encodes every content stream.
+    *
+    * Real-world dialect flags:
+    *  - `xref` appends a classic cross-reference table + trailer + startxref
+    *    (PDF 32000-1 §7.5.4) with true byte offsets;
+    *  - `objStm` moves the structural dicts (Catalog/Pages/Page) into one
+    *    Flate-compressed object stream (§7.5.7) — content streams stay
+    *    top-level (streams cannot nest in an ObjStm). In a classic xref the
+    *    in-ObjStm objects are marked free (only xref STREAMS can type-2
+    *    reference them); the parser recovers them by ObjStm expansion;
+    *  - `winAnsi` declares `/Encoding /WinAnsiEncoding` on the page font and
+    *    serializes text through windows-1252, so cp1252-only chars (smart
+    *    quotes, em dash, €) round-trip as single bytes. */
   def writeDoc(pages: Seq[PageSpec], scanned: Boolean = false,
                compress: Boolean = false, tjEvery: Int = 0,
-               hexEvery: Int = 0): Array[Byte] = {
+               hexEvery: Int = 0, xref: Boolean = false,
+               objStm: Boolean = false, winAnsi: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(4096)
     def put(s: String): Unit = out.write(s.getBytes(Latin1))
+    val offsets = mutable.Map.empty[Int, Int] // top-level obj num → byte offset
+    def beginObj(num: Int): Unit = offsets(num) = out.size
+
     val kids = pages.indices.map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    val imageObjNum = 3 + 2 * pages.length
+    val fontObjNum = imageObjNum + (if (scanned) 1 else 0)
+    val objStmNum = fontObjNum + (if (winAnsi) 1 else 0)
+    val resources =
+      if (winAnsi) s" /Resources << /Font << /F1 $fontObjNum 0 R >> >>" else ""
+    def catalogDict = "<< /Type /Catalog /Pages 2 0 R >>"
+    def pagesDict = s"<< /Type /Pages /Kids [$kids] /Count ${pages.length} >>"
+    def pageDict(i: Int, p: PageSpec) =
+      s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 ${p.pageW} ${p.pageH}] " +
+        s"/Contents ${4 + 2 * i} 0 R$resources >>"
+
     put("%PDF-1.4\n")
-    put("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
-    put(s"2 0 obj << /Type /Pages /Kids [$kids] /Count ${pages.length} >> endobj\n")
+    if (objStm) {
+      val bodies = Seq(1 -> catalogDict, 2 -> pagesDict) ++
+        pages.zipWithIndex.map { case (p, i) => (3 + 2 * i) -> pageDict(i, p) }
+      val sb = new java.lang.StringBuilder
+      val offs = bodies.map { case (_, b) =>
+        val o = sb.length; sb.append(b).append('\n'); o }
+      val header = bodies.zip(offs)
+        .map { case ((n, _), o) => s"$n $o" }.mkString(" ") + "\n"
+      val data = deflate((header + sb).getBytes(Latin1))
+      beginObj(objStmNum)
+      put(s"$objStmNum 0 obj << /Type /ObjStm /N ${bodies.length} " +
+        s"/First ${header.length} /Length ${data.length} /Filter /FlateDecode >> stream\n")
+      out.write(data)
+      put("\nendstream endobj\n")
+    } else {
+      beginObj(1); put(s"1 0 obj $catalogDict endobj\n")
+      beginObj(2); put(s"2 0 obj $pagesDict endobj\n")
+    }
     for ((p, i) <- pages.zipWithIndex) {
       val pageObj = 3 + 2 * i
       val contObj = pageObj + 1
-      put(s"$pageObj 0 obj << /Type /Page /Parent 2 0 R " +
-        s"/MediaBox [0 0 ${p.pageW} ${p.pageH}] /Contents $contObj 0 R >> endobj\n")
-      val raw = pageContent(p, tjEvery, hexEvery).getBytes(Latin1)
+      if (!objStm) {
+        beginObj(pageObj)
+        put(s"$pageObj 0 obj ${pageDict(i, p)} endobj\n")
+      }
+      val raw = pageContent(p, tjEvery, hexEvery, winAnsi).getBytes(Latin1)
       val data = if (compress) deflate(raw) else raw
       val filter = if (compress) " /Filter /FlateDecode" else ""
+      beginObj(contObj)
       put(s"$contObj 0 obj << /Length ${data.length}$filter >> stream\n")
       out.write(data)
       put("\nendstream endobj\n")
     }
-    if (scanned)
-      put(s"${3 + 2 * pages.length} 0 obj << /Type /XObject /Subtype /Image " +
+    if (scanned) {
+      beginObj(imageObjNum)
+      put(s"$imageObjNum 0 obj << /Type /XObject /Subtype /Image " +
         "/Width 800 /Height 1100 >> endobj\n")
+    }
+    if (winAnsi) {
+      beginObj(fontObjNum)
+      put(s"$fontObjNum 0 obj << /Type /Font /Subtype /Type1 " +
+        "/BaseFont /Helvetica /Encoding /WinAnsiEncoding >> endobj\n")
+    }
+    if (xref) {
+      val size = (offsets.keys.max max objStmNum) + 1
+      val xrefOff = out.size
+      put("xref\n")
+      put(s"0 $size\n")
+      put("0000000000 65535 f \n")
+      for (n <- 1 until size) offsets.get(n) match {
+        case Some(o) => put(f"$o%010d 00000 n \n")
+        case None => put("0000000000 65535 f \n")
+      }
+      put(s"trailer << /Size $size /Root 1 0 R >>\nstartxref\n$xrefOff\n")
+    }
     put("%%EOF\n")
     out.toByteArray
   }
@@ -291,6 +378,203 @@ object PdfLite {
     new String(out.toByteArray, Latin1)
   }
 
+  /** Decoded text of an object's stream ("" when none). */
+  private def streamText(s: String, o: PdfObj): String =
+    if (!o.hasStream) ""
+    else if (o.dict.contains("/FlateDecode")) inflate(s, o.streamStart, o.streamEnd)
+    else s.substring(o.streamStart, o.streamEnd)
+
+  /** `/Name 123` integer value. */
+  private def intAfter(dict: String, name: String): Option[Int] = {
+    val i = dict.indexOf(name)
+    if (i < 0) return None
+    val m = java.util.regex.Pattern.compile("^\\s+(\\d+)")
+      .matcher(dict.substring(i + name.length))
+    if (m.find()) Some(m.group(1).toInt) else None
+  }
+
+  /** Balanced `<< … >>` dict text starting at/after `from` (None if absent
+    * or unbalanced within a sanity window). */
+  private def dictSpan(s: String, from: Int): Option[String] = {
+    val open = s.indexOf("<<", from)
+    if (open < 0) return None
+    var depth = 0
+    var k = open
+    while (k < s.length - 1) {
+      if (s.charAt(k) == '<' && s.charAt(k + 1) == '<') { depth += 1; k += 2 }
+      else if (s.charAt(k) == '>' && s.charAt(k + 1) == '>') {
+        depth -= 1; k += 2
+        if (depth == 0) return Some(s.substring(open, k))
+      } else k += 1
+    }
+    None
+  }
+
+  /** Parse the object whose header sits at byte offset `off` (as recorded in
+    * a classic xref table): `N G obj` then either a plain dict body or a
+    * stream with the usual endstream/endobj recovery. */
+  private def objAt(s: String, off: Int): Option[PdfObj] = {
+    if (off < 0 || off >= s.length) return None
+    val m = java.util.regex.Pattern.compile("\\G\\s*(\\d+)\\s+\\d+\\s+obj")
+      .matcher(s)
+    m.region(off, math.min(s.length, off + 64))
+    if (!m.lookingAt()) return None
+    val num = try m.group(1).toInt catch { case _: NumberFormatException => return None }
+    val bodyStart = m.end()
+    val endObj = s.indexOf("endobj", bodyStart)
+    val bodyEnd = if (endObj < 0) s.length else endObj
+    val streamKw = s.indexOf("stream", bodyStart)
+    if (streamKw >= 0 && streamKw < bodyEnd) {
+      var k = streamKw + "stream".length
+      if (k < s.length && s.charAt(k) == '\r') k += 1
+      if (k < s.length && s.charAt(k) == '\n') k += 1
+      val endStream = s.indexOf("endstream", k)
+      val se = if (endStream < 0) bodyEnd else endStream
+      Some(PdfObj(num, s.substring(bodyStart, streamKw), k, se))
+    } else Some(PdfObj(num, s.substring(bodyStart, bodyEnd), -1, -1))
+  }
+
+  /** Classic cross-reference chain (PDF 32000-1 §7.5.4): follow `startxref`
+    * to the newest table, then `/Prev` links to older ones. Returns the
+    * objNum → byte-offset map with NEWEST-section-wins semantics — this is
+    * what makes incremental updates (same object number redefined later in
+    * the file) resolve to the live definition — plus the newest trailer dict.
+    * Malformed tables yield whatever parsed (the linear object scan remains
+    * the fallback). */
+  private def parseXrefChain(s: String): (Map[Int, Int], Option[String]) = {
+    val sx = s.lastIndexOf("startxref")
+    if (sx < 0) return (Map.empty, None)
+    val offM = java.util.regex.Pattern.compile("\\G\\s*(\\d+)").matcher(s)
+    offM.region(sx + "startxref".length, math.min(s.length, sx + 64))
+    if (!offM.lookingAt()) return (Map.empty, None)
+    val resolved = mutable.Map.empty[Int, Int]
+    var trailerDict: Option[String] = None
+    val seen = mutable.Set.empty[Int]
+    var cur = try offM.group(1).toInt catch { case _: NumberFormatException => -1 }
+    val entryPat = java.util.regex.Pattern.compile("\\G\\s*(\\d{10})\\s+(\\d{5})\\s+([nf])")
+    val subPat = java.util.regex.Pattern.compile("\\G\\s*(\\d+)\\s+(\\d+)")
+    while (cur >= 0 && cur < s.length && seen.add(cur)) {
+      var next = -1
+      val xm = java.util.regex.Pattern.compile("\\G\\s*xref").matcher(s)
+      xm.region(cur, math.min(s.length, cur + 32))
+      if (xm.lookingAt()) {
+        var pos = xm.end()
+        var more = true
+        while (more) {
+          val sm = subPat.matcher(s)
+          sm.region(pos, math.min(s.length, pos + 64))
+          if (sm.lookingAt()) {
+            val start = sm.group(1).toInt
+            val count = sm.group(2).toInt
+            pos = sm.end()
+            var k = 0
+            var ok = true
+            while (k < count && ok) {
+              val em = entryPat.matcher(s)
+              em.region(pos, math.min(s.length, pos + 64))
+              if (em.lookingAt()) {
+                if (em.group(3) == "n") {
+                  val num = start + k
+                  if (!resolved.contains(num)) resolved(num) = em.group(1).toInt
+                }
+                pos = em.end(); k += 1
+              } else { ok = false; more = false }
+            }
+          } else more = false
+        }
+        val tr = s.indexOf("trailer", pos)
+        if (tr >= 0) dictSpan(s, tr).foreach { d =>
+          if (trailerDict.isEmpty) trailerDict = Some(d)
+          next = intAfter(d, "/Prev").getOrElse(-1)
+        }
+      }
+      cur = next
+    }
+    (resolved.toMap, trailerDict)
+  }
+
+  /** Expand `/Type /ObjStm` object streams (PDF 32000-1 §7.5.7): inflate,
+    * read the N (objnum, relative-offset) header pairs, slice out each
+    * embedded dict-only object. Scan-based (no xref stream needed) — the
+    * recovered objects never shadow a top-level definition. */
+  private def expandObjStms(objs: Iterable[PdfObj], s: String): Vector[PdfObj] = {
+    val out = Vector.newBuilder[PdfObj]
+    for (o <- objs if o.hasStream && o.dict.contains("/ObjStm")) {
+      val data = streamText(s, o)
+      val first = intAfter(o.dict, "/First").getOrElse(-1)
+      val n = intAfter(o.dict, "/N").getOrElse(0)
+      if (first > 0 && first <= data.length && n > 0 && n <= 10000) {
+        val header = data.substring(0, first).trim.split("\\s+")
+        if (header.length >= 2 * n) {
+          val pairs = (0 until n).flatMap { k =>
+            try Some((header(2 * k).toInt, header(2 * k + 1).toInt))
+            catch { case _: NumberFormatException => None }
+          }
+          for (((num, rel), k) <- pairs.zipWithIndex) {
+            val from = first + rel
+            val until = if (k + 1 < pairs.length) math.min(data.length, first + pairs(k + 1)._2)
+                        else data.length
+            if (from >= 0 && from <= until && until <= data.length)
+              out += PdfObj(num, data.substring(from, until), -1, -1)
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Per-font encodings for a page: resolve `/Resources` (inline dict or
+    * reference, page-level else inherited), then `/Font << /Fi N 0 R … >>`,
+    * then each font object's `/Encoding`. Only the encodings the interpreter
+    * distinguishes are reported (WinAnsi vs default). */
+  private def fontEncodings(pageDict: String, inherited: Option[String],
+                            byNum: Map[Int, PdfObj]): Map[String, String] = {
+    def resourcesText(dict: String): Option[String] = {
+      val i = dict.indexOf("/Resources")
+      if (i < 0) None
+      else refOf(dict.substring(i), "/Resources") match {
+        case Some(r) => byNum.get(r).map(_.dict)
+        case None => dictSpan(dict, i + "/Resources".length)
+      }
+    }
+    val res = resourcesText(pageDict).orElse(inherited.flatMap(resourcesText))
+    res.flatMap { r =>
+      val fi = r.indexOf("/Font")
+      if (fi < 0) None
+      else dictSpan(r, fi + "/Font".length).map { fonts =>
+        val m = java.util.regex.Pattern
+          .compile("/(\\w+)\\s+(\\d+)\\s+\\d+\\s+R").matcher(fonts)
+        val out = Map.newBuilder[String, String]
+        while (m.find()) {
+          val enc = byNum.get(m.group(2).toInt)
+            .map(_.dict).getOrElse("")
+          if (enc.contains("/WinAnsiEncoding")) out += m.group(1) -> "WinAnsi"
+        }
+        out.result()
+      }
+    }.getOrElse(Map.empty)
+  }
+
+  /** windows-1252 view of a raw byte-per-char string — applied when the
+    * current font declares `/WinAnsiEncoding` (maps 0x80–0x9F to smart
+    * quotes, dashes, €, …; the rest coincides with Latin-1). */
+  private def winAnsiText(raw: String): String = {
+    var needs = false
+    var k = 0
+    while (k < raw.length && !needs) {
+      val c = raw.charAt(k)
+      if (c >= 0x80 && c <= 0x9f) needs = true
+      k += 1
+    }
+    if (!needs) raw
+    else {
+      val bytes = new Array[Byte](raw.length)
+      var j = 0
+      while (j < raw.length) { bytes(j) = (raw.charAt(j) & 0xff).toByte; j += 1 }
+      new String(bytes, "windows-1252")
+    }
+  }
+
   /** Page-tree walk + content-stream interpretation → positioned TextItems
     * (with 1-based page numbers). Tolerant: unknown operators are skipped; a
     * malformed stream yields the items recovered so far; no recognizable page
@@ -300,20 +584,42 @@ object PdfLite {
     val s = new String(bytes, Latin1)
     val hasImage = s.contains("/Subtype /Image")
     val objs = scanObjects(s)
-    // first definition wins: a spurious in-stream "N 0 obj" must not shadow
-    // the real object N
-    val byNum = objs.foldLeft(Map.empty[Int, PdfObj]) { (m, o) =>
+    // resolution order (PDF semantics):
+    //  1. linear scan, first definition wins — a spurious in-stream
+    //     "N 0 obj" must not shadow the real object N;
+    //  2. classic xref chain OVERRIDES the scan — incremental updates
+    //     redefine an object later in the file and the newest xref section
+    //     is authoritative;
+    //  3. /ObjStm-embedded objects fill in numbers nothing top-level defines.
+    val (xrefMap, trailerDict) = parseXrefChain(s)
+    val linearByNum = objs.foldLeft(Map.empty[Int, PdfObj]) { (m, o) =>
+      if (m.contains(o.num)) m else m.updated(o.num, o)
+    }
+    val xrefByNum = xrefMap.flatMap { case (num, off) =>
+      objAt(s, off).filter(_.num == num).map(num -> _)
+    }
+    val topLevel = linearByNum ++ xrefByNum
+    // ObjStm containers are themselves top-level objects, so the linear scan
+    // always finds them (in file order — deterministic expansion)
+    val embedded = expandObjStms(objs, s)
+    val byNum = embedded.foldLeft(topLevel) { (m, o) =>
       if (m.contains(o.num)) m else m.updated(o.num, o)
     }
 
     // page order: depth-first /Kids descent from the root Pages node
     // (intermediate /Type /Pages nodes recurse — real page trees nest);
+    // root preferably via trailer /Root → Catalog → /Pages (the xref-era
+    // authoritative path), else the first Pages node in file/ObjStm order;
     // fallback to all /Type /Page objects in file order. Cycle-safe via a
     // visited set, depth-capped defensively.
     def isPagesNode(o: PdfObj): Boolean = o.dict.contains("/Type /Pages")
     def isPageLeaf(o: PdfObj): Boolean =
       o.dict.contains("/Type /Page") && !isPagesNode(o)
-    val pagesNode = objs.find(isPagesNode)
+    val pagesNode = trailerDict
+      .flatMap(refOf(_, "/Root")).flatMap(byNum.get)
+      .flatMap(cat => refOf(cat.dict, "/Pages")).flatMap(byNum.get)
+      .filter(isPagesNode)
+      .orElse((objs ++ embedded).find(isPagesNode))
     // each leaf is paired with the nearest ancestor's /MediaBox (PDF
     // inheritance: a Page without its own box uses the closest Pages box)
     val kidPages: Vector[(PdfObj, Option[(Int, Int)])] = {
@@ -336,17 +642,15 @@ object PdfLite {
     val items = Vector.newBuilder[TextItem]
     var firstW = 612; var firstH = 792
 
-    def contentOf(o: PdfObj): String =
-      if (!o.hasStream) ""
-      else if (o.dict.contains("/FlateDecode")) inflate(s, o.streamStart, o.streamEnd)
-      else s.substring(o.streamStart, o.streamEnd)
+    def contentOf(o: PdfObj): String = streamText(s, o)
 
     if (pageObjs.nonEmpty) {
       for (((p, inh), idx) <- pageObjs.zipWithIndex) {
         val (w, h) = mediaBoxOf(p.dict).orElse(inh).getOrElse((612, 792))
         if (idx == 0) { firstW = w; firstH = h }
+        val encs = fontEncodings(p.dict, pagesNode.map(_.dict), byNum)
         val contents = refsOf(p.dict, "/Contents").flatMap(byNum.get)
-        for (c <- contents) interpret(contentOf(c), h, idx + 1, items)
+        for (c <- contents) interpret(contentOf(c), h, idx + 1, items, encs)
       }
       Parsed(items.result(), firstW, firstH, hasImage, pageObjs.length)
     } else {
@@ -373,11 +677,16 @@ object PdfLite {
     }
   }
 
-  /** Content-stream text state machine (PDF 32000-1 §9.4 subset). */
+  /** Content-stream text state machine (PDF 32000-1 §9.4 subset). `encs`
+    * maps font resource names (Tf's first operand) to their declared
+    * encoding; strings shown under a `/WinAnsiEncoding` font are re-read as
+    * windows-1252 before emission. */
   private def interpret(content: String, pageH: Int, pageNum: Int,
-                        out: mutable.Builder[TextItem, Vector[TextItem]]): Unit = {
+                        out: mutable.Builder[TextItem, Vector[TextItem]],
+                        encs: Map[String, String] = Map.empty): Unit = {
     val toks = tokenize(content)
     var fontSize = 12.0
+    var winAnsi = false
     var leading = 0.0
     var tmx = 0.0; var tmy = 0.0   // current text position (PDF coords)
     var lmx = 0.0; var lmy = 0.0   // line-start position
@@ -386,8 +695,9 @@ object PdfLite {
     def num(t: Tok): Double = t match { case TNum(v) => v; case _ => 0.0 }
 
     def emit(raw: String): Unit = {
-      val text = Py.strip(raw)
-      val width = raw.length * CharWidthFactor * fontSize
+      val decoded = if (winAnsi) winAnsiText(raw) else raw
+      val text = Py.strip(decoded)
+      val width = decoded.length * CharWidthFactor * fontSize
       if (text.nonEmpty) {
         // mirror smart_extract.py:85-93: int truncation, conf 100
         val yTop = pageH - tmy - fontSize
@@ -403,6 +713,10 @@ object PdfLite {
       case TOp("ET") => operands.clear()
       case TOp("Tf") =>
         if (operands.nonEmpty) fontSize = num(operands.last)
+        if (operands.length >= 2) operands(operands.length - 2) match {
+          case TName(f) => winAnsi = encs.get(f).contains("WinAnsi")
+          case _ =>
+        }
         operands.clear()
       case TOp("Td") | TOp("TD") =>
         if (operands.length >= 2) {

@@ -165,6 +165,129 @@ class PdfLiteSpec extends AnyFunSuite {
     }
   }
 
+  test("classic xref table + trailer: parses identically and carries true offsets") {
+    val plain = PdfLite.parse(doc3(compress = false))
+    val bytes = PdfLite.writeDoc(
+      (1 to 3).map(p => PdfLite.PageSpec(800, 1000, runsOf(p, 100 + 10 * p))),
+      xref = true)
+    val s = new String(bytes, StandardCharsets.ISO_8859_1)
+    assert(s.contains("xref") && s.contains("trailer") && s.contains("startxref"))
+    val parsed = PdfLite.parse(bytes)
+    assert(parsed.items == plain.items && parsed.nPages == 3)
+  }
+
+  test("incremental update: the xref chain resolves the NEWEST definition") {
+    val sb = new java.lang.StringBuilder
+    def obj(num: Int, body: String): Int = {
+      val off = sb.length; sb.append(s"$num 0 obj $body endobj\n"); off
+    }
+    def streamObj(num: Int, content: String): Int = {
+      val off = sb.length
+      sb.append(s"$num 0 obj << /Length ${content.length} >> stream\n")
+        .append(content).append("\nendstream endobj\n")
+      off
+    }
+    sb.append("%PDF-1.4\n")
+    val o1 = obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    val o2 = obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    val o3 = obj(3, "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 200 200] /Contents 4 0 R >>")
+    val o4 = streamObj(4, "BT /F1 10 Tf 1 0 0 1 10 180 Tm (OLD) Tj ET")
+    val x1 = sb.length
+    sb.append("xref\n0 5\n0000000000 65535 f \n")
+    for (o <- Seq(o1, o2, o3, o4)) sb.append(f"$o%010d 00000 n \n")
+    sb.append(s"trailer << /Size 5 /Root 1 0 R >>\nstartxref\n$x1\n%%EOF\n")
+    // incremental update section: object 4 redefined, new xref links back
+    val o4b = streamObj(4, "BT /F1 10 Tf 1 0 0 1 10 180 Tm (NEW) Tj ET")
+    val x2 = sb.length
+    sb.append(f"xref\n4 1\n$o4b%010d 00000 n \n")
+    sb.append(s"trailer << /Size 5 /Root 1 0 R /Prev $x1 >>\nstartxref\n$x2\n%%EOF\n")
+    val parsed = PdfLite.parse(sb.toString.getBytes(StandardCharsets.ISO_8859_1))
+    // first-definition-wins (the no-xref fallback) would read OLD here
+    assert(parsed.items.map(_.text) == Vector("NEW"), parsed.items)
+  }
+
+  test("trailer /Root selects the real page tree over a decoy Pages node") {
+    val sb = new java.lang.StringBuilder
+    def obj(num: Int, body: String): Int = {
+      val off = sb.length; sb.append(s"$num 0 obj $body endobj\n"); off
+    }
+    sb.append("%PDF-1.4\n")
+    // decoy appears FIRST in file order — an orphan tree (e.g. from an
+    // abandoned incremental edit) pointing at an empty page
+    val d1 = obj(9, "<< /Type /Pages /Kids [8 0 R] /Count 1 >>")
+    val d2 = obj(8, "<< /Type /Page /Parent 9 0 R /MediaBox [0 0 50 50] >>")
+    val o1 = obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    val o2 = obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    val o3 = obj(3, "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 200 200] /Contents 4 0 R >>")
+    val content = "BT /F1 10 Tf 1 0 0 1 10 180 Tm (real) Tj ET"
+    val o4 = sb.length
+    sb.append(s"4 0 obj << /Length ${content.length} >> stream\n")
+      .append(content).append("\nendstream endobj\n")
+    val x1 = sb.length
+    sb.append("xref\n0 5\n0000000000 65535 f \n")
+    for (o <- Seq(o1, o2, o3, o4)) sb.append(f"$o%010d 00000 n \n")
+    sb.append(f"8 2\n$d2%010d 00000 n \n$d1%010d 00000 n \n")
+    sb.append(s"trailer << /Size 10 /Root 1 0 R >>\nstartxref\n$x1\n%%EOF\n")
+    val parsed = PdfLite.parse(sb.toString.getBytes(StandardCharsets.ISO_8859_1))
+    assert(parsed.items.map(_.text) == Vector("real"))
+    assert(parsed.pageW == 200 && parsed.nPages == 1)
+  }
+
+  test("/ObjStm object streams: structural dicts inside a compressed container") {
+    val plain = PdfLite.parse(doc3(compress = false))
+    val viaObjStm = PdfLite.parse(PdfLite.writeDoc(
+      (1 to 3).map(p => PdfLite.PageSpec(800, 1000, runsOf(p, 100 + 10 * p))),
+      objStm = true))
+    assert(viaObjStm.items == plain.items)
+    assert(viaObjStm.nPages == 3 && viaObjStm.pageW == 800)
+    // and combined with Flate content + classic xref (hybrid file)
+    val combo = PdfLite.parse(PdfLite.writeDoc(
+      (1 to 3).map(p => PdfLite.PageSpec(800, 1000, runsOf(p, 100 + 10 * p))),
+      compress = true, objStm = true, xref = true))
+    assert(combo.items == plain.items && combo.nPages == 3)
+  }
+
+  test("WinAnsiEncoding: cp1252-only chars round-trip through single bytes") {
+    val text = "quoted “words” — café €5 don’t"
+    val bytes = PdfLite.writeDoc(Seq(PdfLite.PageSpec(400, 400,
+      Seq(PdfLite.Run(10, 50, 12, text)))), winAnsi = true)
+    val s = new String(bytes, StandardCharsets.ISO_8859_1)
+    assert(s.contains("/WinAnsiEncoding") && s.contains("/Resources"))
+    // the serialized stream holds the cp1252 single bytes, not mojibake
+    assert(s.contains("words")) // 0x93/0x94 = curly quotes
+    val parsed = PdfLite.parse(bytes)
+    assert(parsed.items.map(_.text) == Vector(text), parsed.items)
+    // hex-string and TJ paths decode through the same font encoding
+    for ((tj, hx) <- Seq((0, 1), (1, 0), (1, 1))) {
+      val p2 = PdfLite.parse(PdfLite.writeDoc(Seq(PdfLite.PageSpec(400, 400,
+        Seq(PdfLite.Run(10, 50, 12, text)))),
+        winAnsi = true, tjEvery = tj, hexEvery = hx))
+      assert(p2.items.map(_.text).mkString(" ") == text, (tj, hx, p2.items))
+    }
+  }
+
+  test("writer encoding contract: unencodable chars become a literal '?'") {
+    // U+2192 (→) exists in neither Latin-1 nor cp1252
+    val runs = Seq(PdfLite.Run(10, 50, 12, "a→b — c"))
+    val latin = PdfLite.parse(PdfLite.writeDoc(Seq(PdfLite.PageSpec(400, 400, runs))))
+    // default writer is Latin-1: the em dash is unencodable too
+    assert(latin.items.map(_.text) == Vector("a?b ? c"))
+    val win = PdfLite.parse(PdfLite.writeDoc(Seq(PdfLite.PageSpec(400, 400, runs)),
+      winAnsi = true))
+    assert(win.items.map(_.text) == Vector("a?b — c"))
+  }
+
+  test("garbage xref/startxref sections degrade to the linear scan, never throw") {
+    val good = doc3(compress = false)
+    val tail = "xref\n0 banana\ntrailer << /Root nope >>\nstartxref\nnotanumber\n%%EOF\n"
+    val bytes = good ++ tail.getBytes(StandardCharsets.ISO_8859_1)
+    val parsed = PdfLite.parse(bytes)
+    assert(parsed.nPages == 3 && parsed.items.nonEmpty)
+    // startxref pointing past EOF
+    val bad2 = good ++ "startxref\n999999999\n%%EOF\n".getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfLite.parse(bad2).nPages == 3)
+  }
+
   test("round-1 dialect (no explicit write path) still parses via the object tree") {
     val legacy = PdfLite.write(1700, 1200, Seq(
       PdfLite.Run(40, 300, 12, "legacy run")), scanned = true)

@@ -44,6 +44,12 @@ class CorpusFingerprintSpec extends AnyFunSuite {
     assert(pdfs.exists { case (_, p) =>
       java.util.regex.Pattern.compile("<[0-9A-F]+> Tj").matcher(raw(p.html)).find() },
       "hex-string branch not sampled")
+    assert(pdfs.exists { case (_, p) => raw(p.html).contains("startxref") },
+      "classic-xref branch not sampled")
+    assert(pdfs.exists { case (_, p) => raw(p.html).contains("/ObjStm") },
+      "/ObjStm branch not sampled")
+    assert(pdfs.exists { case (_, p) => raw(p.html).contains("/WinAnsiEncoding") },
+      "WinAnsiEncoding branch not sampled")
     for (v <- Seq("newark", "sysco", "test"))
       assert(pdfs.exists(_._2.url.contains(s"/$v/")), s"vendor $v not sampled")
     for (l <- Seq("en", "de", "es"))
