@@ -375,6 +375,44 @@ object ExtractOps {
        |FROM spine s LEFT JOIN counts c ON s.route = c.route AND s.bucket = c.bucket
        |ORDER BY s.route, s.bucket""".stripMargin
 
+  /** q42_stream_extract — the Structured Streaming surface as a catalog
+    * query: the sf-sized first-nDocs page slice is staged as parquet FILES,
+    * drained by [[graft.streaming.ExtractStream.run]] (file stream → kernel
+    * expression → parquet sink, exactly-once via the checkpoint WAL,
+    * `Trigger.AvailableNow`, several micro-batches via maxFilesPerTrigger),
+    * and the sink is rolled up per route. The streamed result must equal the
+    * batch extraction over the same slice, so the committed golden is a true
+    * cross-engine oracle for the STREAMING path. The tiny rollup is collected
+    * so the temp stream dirs can be cleaned up eagerly. */
+  def q42StreamExtract(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val n = nDocs(spark, dir)
+    val tmp = Files.createTempDirectory("graft_stream").toString
+    try {
+      val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+      cachedPages(spark, n).repartition(8).write.parquet(inDir)
+      val q = graft.streaming.ExtractStream.run(spark, inDir, outDir, ckpt,
+        maxFilesPerTrigger = 2)
+      q.awaitTermination()
+      val rolled = spark.read.parquet(outDir)
+        .groupBy(col("route"))
+        .agg(count(lit(1)).as("n"),
+             sum(when(col("failure") =!= "", 1L).otherwise(0L)).as("n_failures"),
+             sum(length(col("extractedText"))).cast("long").as("sum_chars"))
+        .orderBy(col("route"))
+      val rows = rolled.collect()
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.toSeq.asJava, rolled.schema)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+
+  val q42StreamExtractSql: String =
+    s"""WITH g AS (${goldenDocsSql(perDoc = 1L)})
+       |SELECT route, count(*) AS n,
+       |  cast(sum(CASE WHEN failure <> '' THEN 1 ELSE 0 END) as bigint) AS n_failures,
+       |  cast(sum(n_chars) as bigint) AS sum_chars
+       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_extract_rollup" -> (q25ExtractRollup _),
     "q26_extract_text_hash" -> (q26ExtractTextHash _),
@@ -384,7 +422,8 @@ object ExtractOps {
     "q30_explode_pages" -> (q30ExplodePages _),
     "q38_extract_pages" -> (q38ExtractPages _),
     "q39_template_stats" -> (q39TemplateStats _),
-    "q41_quality_hist" -> (q41QualityHist _))
+    "q41_quality_hist" -> (q41QualityHist _),
+    "q42_stream_extract" -> (q42StreamExtract _))
 
   def oracles: Map[String, String] = Map(
     "q25_extract_rollup" -> q25ExtractRollupSql,
@@ -395,5 +434,6 @@ object ExtractOps {
     "q30_explode_pages" -> q30ExplodePagesSql,
     "q38_extract_pages" -> q38ExtractPagesSql,
     "q39_template_stats" -> q39TemplateStatsSql,
-    "q41_quality_hist" -> q41QualityHistSql)
+    "q41_quality_hist" -> q41QualityHistSql,
+    "q42_stream_extract" -> q42StreamExtractSql)
 }
