@@ -210,8 +210,11 @@ object Bench {
       val hiMin = pairs.map(_._2.wallSec).min
       val kept = pairs.filter { case (lo, hi) =>
         lo.wallSec <= 2.0 * loMin && hi.wallSec <= 2.0 * hiMin }
-      val pairEffTrimmed = median(
-        kept.map { case (lo, hi) => (hi.docsPerSec / lo.docsPerSec) / 4.0 })
+      // degenerate case: every pair straddles a window edge (no pair is clean
+      // on both sides) — fall back to the untrimmed median rather than 0
+      val pairEffTrimmed =
+        if (kept.isEmpty) pairEffMedian
+        else median(kept.map { case (lo, hi) => (hi.docsPerSec / lo.docsPerSec) / 4.0 })
       val nTrimmed = pairs.length - kept.length
       val estimatorNote = "scaling_efficiency = best-per-level (VM noise only slows runs; " +
         "minima are consistent estimators); pair_eff_trimmed = median over pairs with both " +
@@ -219,7 +222,10 @@ object Bench {
         "drops window-straddling pairs on absolute time alone - efficiency-blind); " +
         "pair_eff_median = untrimmed median, reported for transparency, collapses when one " +
         "rep of a pair straddles a degraded window"
-      val m32 = extractOnce(32, corpusPath, s"$tmp/out32", 1)
+      // peak32 is a single-sample number in a noisy VM — take best-of-2
+      val m32 = Seq(
+        extractOnce(32, corpusPath, s"$tmp/out32", 1),
+        extractOnce(32, corpusPath, s"$tmp/out32", 2)).minBy(_.wallSec)
       def secs(ms: Seq[ExtractJob.Metrics]) =
         ms.map(m => f"${m.wallSec}%.2f").mkString("[", ",", "]")
       scalingJson =

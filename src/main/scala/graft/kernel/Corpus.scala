@@ -22,7 +22,7 @@ object Corpus {
     * the constant is folded into [[graft.operators.ExtractOps]]'s corpus-cache
     * fingerprint, so bumping it invalidates every materialized corpus cache
     * even if the hashed sample pages happen to be byte-identical. */
-  val GeneratorVersion = 4
+  val GeneratorVersion = 5
 
   final case class PageRow(url: String, warc_ts: java.sql.Timestamp,
                            html: Array[Byte], text: String, lang: String)
@@ -168,30 +168,38 @@ object Corpus {
       // structural variety so the corpus exercises every parser path the
       // real web throws at PDF ingestion: ~12% multi-page (/Kids trees),
       // ~30% FlateDecode-compressed streams, ~25% TJ kerned arrays, ~25%
-      // hex strings, ~20% classic xref tables, ~17% /ObjStm containers,
-      // ~17% WinAnsiEncoding (with cp1252-only chars in the text) — all
-      // deterministic draws of the per-doc rng
+      // hex strings, ~20% classic xref tables, ~20% PDF 1.5 xref STREAMS,
+      // ~17% /ObjStm containers (type-2-located when an xref stream is
+      // present), ~17% WinAnsiEncoding (cp1252-only chars), ~8% /ToUnicode
+      // CMap fonts (chars beyond cp1252 entirely), ~8% ASCIIHex-armored
+      // streams — all deterministic draws of the per-doc rng
       val nPages = if (rng.nextInt(8) == 0) 2 + rng.nextInt(3) else 1
       val basePages = (1 to nPages).map(_ =>
         PdfLite.PageSpec(1700, 1200, pdfTableRuns(rng, vendor)))
       val compress = rng.nextInt(10) < 3
       val tjEvery = if (rng.nextInt(4) == 0) 3 else 0
       val hexEvery = if (rng.nextInt(4) == 0) 4 else 0
-      val xref = rng.nextInt(5) == 0
+      val xrefDraw = rng.nextInt(10) // 0-1 classic table, 2-3 xref stream
       val objStm = rng.nextInt(6) == 0
-      val winAnsi = rng.nextInt(6) == 0
+      val encDraw = rng.nextInt(12)  // 0-1 WinAnsi, 2 ToUnicode
+      val hexArmor = rng.nextInt(12) == 0
+      val winAnsi = encDraw <= 1
+      val toUnicode = encDraw == 2
       val pageSpecs =
-        if (!winAnsi) basePages
+        if (!winAnsi && !toUnicode) basePages
         else basePages.map { ps =>
-          // a memo line only cp1252 can carry in one byte per char — proves
-          // the /Encoding path end-to-end (writer bytes ≠ Latin-1 text)
-          val memo = PdfLite.Run(40, 1185, 9,
-            s"mémo — “net €${1 + rng.nextInt(999)}”")
-          ps.copy(runs = ps.runs :+ memo)
+          // a memo line the default Latin-1 writer cannot carry — proves the
+          // font-decoding path end-to-end (serialized bytes ≠ the text)
+          val memoText =
+            if (winAnsi) s"mémo — “net €${1 + rng.nextInt(999)}”"
+            else s"σύνολο αβγ — Ω${1 + rng.nextInt(999)}"
+          ps.copy(runs = ps.runs :+ PdfLite.Run(40, 1185, 9, memoText))
         }
       val bytes = PdfLite.writeDoc(pageSpecs, scanned = scanned,
         compress = compress, tjEvery = tjEvery, hexEvery = hexEvery,
-        xref = xref, objStm = objStm, winAnsi = winAnsi)
+        xref = xrefDraw <= 1, objStm = objStm, winAnsi = winAnsi,
+        toUnicode = toUnicode, xrefStream = xrefDraw == 2 || xrefDraw == 3,
+        hexArmor = hexArmor)
       val text =
         if (scanned) "" // forces the scanned route (detect: no meaningful text)
         else pageSpecs.flatMap(_.runs).map(_.text).mkString(" ")

@@ -12,22 +12,28 @@ import scala.collection.mutable
   *  - object structure `N G obj … endobj`, page tree `/Type /Pages` →
   *    `/Kids [...]` → `/Type /Page` (ordered, per-page `/MediaBox` with
   *    inheritance from the Pages node), `/Contents` single ref or array;
-  *  - classic cross-reference tables (§7.5.4): `startxref` → newest table →
-  *    `/Prev` chain, newest-section-wins — incremental updates resolve to
-  *    the live object definition, and the trailer `/Root` selects the
-  *    authoritative page tree;
+  *  - cross-reference chains, BOTH kinds: classic tables (§7.5.4) and
+  *    PDF 1.5 xref STREAMS (§7.5.8: `/Type /XRef`, `/W`-sized big-endian
+  *    rows, `/Index` subsections, type-2 in-ObjStm entries); `startxref` →
+  *    newest section → `/Prev` chain, newest-section-wins — incremental
+  *    updates resolve to the live object definition, and the trailer/XRef
+  *    `/Root` selects the authoritative page tree;
   *  - object streams (§7.5.7): `/Type /ObjStm` containers are inflated and
   *    their embedded dict-only objects (Catalog/Pages/Page nodes in real
-  *    files) recovered by scan, no xref stream required;
-  *  - content streams, optionally `/Filter /FlateDecode` compressed
-  *    (`java.util.zip.Inflater` — zlib is public knowledge; output capped at
-  *    [[InflateCap]] as decompression-bomb defense);
+  *    files) recovered — authoritatively via xref type-2 entries, by scan
+  *    otherwise;
+  *  - stream filters: `/FlateDecode` (`java.util.zip.Inflater` — zlib is
+  *    public knowledge; output capped at [[InflateCap]] as
+  *    decompression-bomb defense), `/ASCIIHexDecode`, and the
+  *    `[/ASCIIHexDecode /FlateDecode]` chain;
   *  - text operators `BT ET Tf Td TD Tm T* Tj TJ` over literal `(...)` and
   *    hex `<...>` strings; `TJ` arrays apply the standard kerning advance
   *    `tx = −n/1000 × fontSize`;
-  *  - simple font encodings: `/Resources → /Font → /Encoding
-  *    /WinAnsiEncoding` re-reads shown strings as windows-1252 (smart
-  *    quotes, dashes, € in 0x80–0x9F), tracked per Tf font;
+  *  - font text decoding, tracked per Tf font: `/ToUnicode` CMaps
+  *    (bfchar/bfrange, §9.10.3 — take precedence, the PyMuPDF order) and
+  *    `/Encoding /WinAnsiEncoding` (shown strings re-read as windows-1252:
+  *    smart quotes, dashes, € in 0x80–0x9F), resolved through `/Resources →
+  *    /Font` inline dicts or references;
   *  - tolerant everywhere: unknown operators are skipped, malformed streams
   *    yield the items recovered so far, files with no recognizable page tree
   *    fall back to "every stream is page 1" (failure isolation happens per
@@ -85,22 +91,25 @@ object PdfLite {
 
   /** Writer text-encoding contract (ADVICE r02): the serialized byte per char
     * is the char's code point under the doc's DECLARED encoding — Latin-1 by
-    * default, windows-1252 when the doc declares `/WinAnsiEncoding`. A char
-    * the encoding cannot represent becomes a literal '?' HERE, explicitly and
+    * default, windows-1252 when the doc declares `/WinAnsiEncoding`, or a
+    * doc-local code assignment published via `/ToUnicode`. A char the
+    * encoding cannot represent becomes a literal '?' HERE, explicitly and
     * deterministically, instead of corrupting silently inside
     * `getBytes(ISO_8859_1)` downstream. */
-  private def encodeText(t: String, winAnsi: Boolean): String =
-    if (winAnsi) new String(t.getBytes("windows-1252"), Latin1)
-    else t.map(c => if (c > 0xff) '?' else c)
+  private def latin1Enc(t: String): String =
+    t.map(c => if (c > 0xff) '?' else c)
+  private def winAnsiEnc(t: String): String =
+    new String(t.getBytes("windows-1252"), Latin1)
 
   /** Per-page content stream. Runs on the same y share a line: the first run
     * of a line is positioned absolutely (Tm), subsequent runs relatively (Td)
     * — exercising both parser paths. `tjEvery`/`hexEvery` (0 = never) emit
     * every k-th run as a kerned `TJ` array (words separated by −600 kerning ≡
     * one space width under the monospace metric) / as a hex string — so the
-    * corpus itself exercises those parser paths. */
+    * corpus itself exercises those parser paths. `enc` serializes run text
+    * into the doc's declared byte encoding. */
   private def pageContent(p: PageSpec, tjEvery: Int, hexEvery: Int,
-                          winAnsi: Boolean = false): String = {
+                          enc: String => String): String = {
     val content = new java.lang.StringBuilder
     content.append("BT\n")
     var curSize = -1
@@ -119,19 +128,19 @@ object PdfLite {
         content.append(s"${r.x - curX} ${yPdf - curY} Td\n")
         curX = r.x; curY = yPdf
       }
-      val enc = encodeText(r.text, winAnsi)
-      val asTj = tjEvery > 0 && idx % tjEvery == tjEvery - 1 && enc.contains(' ')
+      val encoded = enc(r.text)
+      val asTj = tjEvery > 0 && idx % tjEvery == tjEvery - 1 && encoded.contains(' ')
       val asHex = hexEvery > 0 && idx % hexEvery == hexEvery - 1
       if (asTj) {
         // kerned array: words advance by exactly one space width each
-        val words = enc.split(" ", -1)
+        val words = encoded.split(" ", -1)
         content.append(words.map { w =>
           if (asHex) hexString(w) else s"(${escape(w)})"
         }.mkString("[ ", " -600 ", " ] TJ\n"))
       } else if (asHex) {
-        content.append(s"${hexString(enc)} Tj\n")
+        content.append(s"${hexString(encoded)} Tj\n")
       } else {
-        content.append(s"(${escape(enc)}) Tj\n")
+        content.append(s"(${escape(encoded)}) Tj\n")
       }
     }
     content.append("ET\n")
@@ -163,11 +172,22 @@ object PdfLite {
     *    reference them); the parser recovers them by ObjStm expansion;
     *  - `winAnsi` declares `/Encoding /WinAnsiEncoding` on the page font and
     *    serializes text through windows-1252, so cp1252-only chars (smart
-    *    quotes, em dash, €) round-trip as single bytes. */
+    *    quotes, em dash, €) round-trip as single bytes;
+    *  - `toUnicode` assigns doc-local byte codes (0x80…) to the non-ASCII
+    *    chars in use and publishes them via a `/ToUnicode` CMap
+    *    (bfrange + bfchar) — the subset-font layout where the Tj bytes are
+    *    NOT the text without the CMap;
+    *  - `xrefStream` emits a PDF 1.5 `/Type /XRef` cross-reference STREAM
+    *    (`/W [1 4 2]`, Flate) instead of a classic table, with type-2
+    *    entries for in-ObjStm objects when combined with `objStm`;
+    *  - `hexArmor` wraps content streams in `/ASCIIHexDecode` (optionally
+    *    chained over Flate). */
   def writeDoc(pages: Seq[PageSpec], scanned: Boolean = false,
                compress: Boolean = false, tjEvery: Int = 0,
                hexEvery: Int = 0, xref: Boolean = false,
-               objStm: Boolean = false, winAnsi: Boolean = false): Array[Byte] = {
+               objStm: Boolean = false, winAnsi: Boolean = false,
+               toUnicode: Boolean = false, xrefStream: Boolean = false,
+               hexArmor: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(4096)
     def put(s: String): Unit = out.write(s.getBytes(Latin1))
     val offsets = mutable.Map.empty[Int, Int] // top-level obj num → byte offset
@@ -175,10 +195,27 @@ object PdfLite {
 
     val kids = pages.indices.map(i => s"${3 + 2 * i} 0 R").mkString(" ")
     val imageObjNum = 3 + 2 * pages.length
+    val useFont = winAnsi || toUnicode
     val fontObjNum = imageObjNum + (if (scanned) 1 else 0)
-    val objStmNum = fontObjNum + (if (winAnsi) 1 else 0)
+    val cmapObjNum = fontObjNum + 1
+    val objStmNum = fontObjNum + (if (useFont) 1 else 0) + (if (toUnicode) 1 else 0)
+    val xrefStmNum = objStmNum + (if (objStm) 1 else 0)
+
+    // doc-local ToUnicode code assignment: the non-ASCII chars actually used
+    // get codes 0x80… and the CMap publishes the mapping — the real-world
+    // subset-font layout where Tj bytes are NOT the text
+    val codeMap: Map[Char, Char] =
+      if (!toUnicode) Map.empty
+      else pages.flatMap(_.runs).flatMap(_.text).filter(_ > 0x7e)
+        .distinct.take(0x7e)
+        .zipWithIndex.map { case (c, k) => c -> (0x80 + k).toChar }.toMap
+    val enc: String => String =
+      if (toUnicode) t => t.map(c => if (c <= 0x7e) c else codeMap.getOrElse(c, '?'))
+      else if (winAnsi) winAnsiEnc
+      else latin1Enc
+
     val resources =
-      if (winAnsi) s" /Resources << /Font << /F1 $fontObjNum 0 R >> >>" else ""
+      if (useFont) s" /Resources << /Font << /F1 $fontObjNum 0 R >> >>" else ""
     def catalogDict = "<< /Type /Catalog /Pages 2 0 R >>"
     def pagesDict = s"<< /Type /Pages /Kids [$kids] /Count ${pages.length} >>"
     def pageDict(i: Int, p: PageSpec) =
@@ -211,9 +248,21 @@ object PdfLite {
         beginObj(pageObj)
         put(s"$pageObj 0 obj ${pageDict(i, p)} endobj\n")
       }
-      val raw = pageContent(p, tjEvery, hexEvery, winAnsi).getBytes(Latin1)
-      val data = if (compress) deflate(raw) else raw
-      val filter = if (compress) " /Filter /FlateDecode" else ""
+      val raw = pageContent(p, tjEvery, hexEvery, enc).getBytes(Latin1)
+      val deflated = if (compress) deflate(raw) else raw
+      val data =
+        if (!hexArmor) deflated
+        else {
+          val sb = new java.lang.StringBuilder(deflated.length * 2 + 1)
+          deflated.foreach(b => sb.append(f"${b & 0xff}%02X"))
+          sb.append('>')
+          sb.toString.getBytes(Latin1)
+        }
+      val filter =
+        if (hexArmor && compress) " /Filter [/ASCIIHexDecode /FlateDecode]"
+        else if (compress) " /Filter /FlateDecode"
+        else if (hexArmor) " /Filter /ASCIIHexDecode"
+        else ""
       beginObj(contObj)
       put(s"$contObj 0 obj << /Length ${data.length}$filter >> stream\n")
       out.write(data)
@@ -224,12 +273,60 @@ object PdfLite {
       put(s"$imageObjNum 0 obj << /Type /XObject /Subtype /Image " +
         "/Width 800 /Height 1100 >> endobj\n")
     }
-    if (winAnsi) {
+    if (useFont) {
+      val encPart = if (winAnsi) " /Encoding /WinAnsiEncoding" else ""
+      val cmapPart = if (toUnicode) s" /ToUnicode $cmapObjNum 0 R" else ""
       beginObj(fontObjNum)
       put(s"$fontObjNum 0 obj << /Type /Font /Subtype /Type1 " +
-        "/BaseFont /Helvetica /Encoding /WinAnsiEncoding >> endobj\n")
+        s"/BaseFont /Helvetica$encPart$cmapPart >> endobj\n")
     }
-    if (xref) {
+    if (toUnicode) {
+      val bfchars = codeMap.toSeq.sortBy(_._2)
+        .map { case (u, code) => f"<${code.toInt}%02X> <${u.toInt}%04X>" }
+        .mkString("\n")
+      val cmapTxt =
+        "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n" +
+        "1 beginbfrange\n<20> <7e> <0020>\nendbfrange\n" +
+        s"${codeMap.size} beginbfchar\n$bfchars\nendbfchar\n" +
+        "endcmap\nend\nend\n"
+      beginObj(cmapObjNum)
+      put(s"$cmapObjNum 0 obj << /Length ${cmapTxt.length} >> stream\n")
+      put(cmapTxt)
+      put("\nendstream endobj\n")
+    }
+    if (xrefStream) {
+      // PDF 1.5 cross-reference stream: /W [1 4 2] big-endian rows; in-ObjStm
+      // structural objects get type-2 (container, index) entries — the layout
+      // modern writers pair with /ObjStm
+      val inStm: Map[Int, Int] =
+        if (objStm) (Seq(1, 2) ++ pages.indices.map(3 + 2 * _)).zipWithIndex.toMap
+        else Map.empty
+      val selfOff = out.size
+      offsets(xrefStmNum) = selfOff
+      val size = xrefStmNum + 1
+      val rows = new java.io.ByteArrayOutputStream(size * 7)
+      def row(t: Int, f2: Long, f3: Int): Unit = {
+        rows.write(t)
+        rows.write(((f2 >> 24) & 0xff).toInt); rows.write(((f2 >> 16) & 0xff).toInt)
+        rows.write(((f2 >> 8) & 0xff).toInt); rows.write((f2 & 0xff).toInt)
+        rows.write((f3 >> 8) & 0xff); rows.write(f3 & 0xff)
+      }
+      for (n <- 0 until size) {
+        if (n == 0) row(0, 0, 0xffff)
+        else offsets.get(n) match {
+          case Some(o) => row(1, o.toLong, 0)
+          case None => inStm.get(n) match {
+            case Some(idx) => row(2, objStmNum.toLong, idx)
+            case None => row(0, 0, 0)
+          }
+        }
+      }
+      val data = deflate(rows.toByteArray)
+      put(s"$xrefStmNum 0 obj << /Type /XRef /Size $size /W [1 4 2] " +
+        s"/Root 1 0 R /Filter /FlateDecode /Length ${data.length} >> stream\n")
+      out.write(data)
+      put(s"\nendstream endobj\nstartxref\n$selfOff\n")
+    } else if (xref) {
       val size = (offsets.keys.max max objStmNum) + 1
       val xrefOff = out.size
       put("xref\n")
@@ -357,6 +454,29 @@ object PdfLite {
     catch { case _: NumberFormatException => None }
   }
 
+  /** ASCIIHexDecode (PDF 32000-1 §7.4.2): hex pairs, whitespace ignored,
+    * `>` ends the data, odd final digit takes low nibble 0. */
+  private def asciiHexDecode(txt: String): String = {
+    val sb = new java.lang.StringBuilder(txt.length / 2 + 1)
+    var hi = -1
+    var k = 0
+    var done = false
+    while (k < txt.length && !done) {
+      val ch = txt.charAt(k)
+      if (ch == '>') done = true
+      else {
+        val d = Character.digit(ch, 16)
+        if (d >= 0) {
+          if (hi < 0) hi = d
+          else { sb.append(((hi << 4) | d).toChar); hi = -1 }
+        }
+      }
+      k += 1
+    }
+    if (hi >= 0) sb.append((hi << 4).toChar)
+    sb.toString
+  }
+
   private def inflate(s: String, from: Int, until: Int): String = {
     val n = math.max(0, until - from)
     val in = new Array[Byte](n)
@@ -378,11 +498,21 @@ object PdfLite {
     new String(out.toByteArray, Latin1)
   }
 
-  /** Decoded text of an object's stream ("" when none). */
-  private def streamText(s: String, o: PdfObj): String =
-    if (!o.hasStream) ""
-    else if (o.dict.contains("/FlateDecode")) inflate(s, o.streamStart, o.streamEnd)
+  /** Decoded text of an object's stream ("" when none). Filter chains are
+    * applied in decode order — the only real-world combination in scope is
+    * `[/ASCIIHexDecode /FlateDecode]` (hex armor over compressed data), so
+    * AHx, when present, always unwraps before Flate. */
+  private def streamText(s: String, o: PdfObj): String = {
+    if (!o.hasStream) return ""
+    val hasAHx = o.dict.contains("/ASCIIHexDecode")
+    val hasFlate = o.dict.contains("/FlateDecode")
+    if (hasAHx) {
+      val hexed = asciiHexDecode(s.substring(o.streamStart, o.streamEnd))
+      if (hasFlate) inflate(hexed, 0, hexed.length) else hexed
+    }
+    else if (hasFlate) inflate(s, o.streamStart, o.streamEnd)
     else s.substring(o.streamStart, o.streamEnd)
+  }
 
   /** `/Name 123` integer value. */
   private def intAfter(dict: String, name: String): Option[Int] = {
@@ -434,20 +564,48 @@ object PdfLite {
     } else Some(PdfObj(num, s.substring(bodyStart, bodyEnd), -1, -1))
   }
 
-  /** Classic cross-reference chain (PDF 32000-1 §7.5.4): follow `startxref`
-    * to the newest table, then `/Prev` links to older ones. Returns the
-    * objNum → byte-offset map with NEWEST-section-wins semantics — this is
-    * what makes incremental updates (same object number redefined later in
-    * the file) resolve to the live definition — plus the newest trailer dict.
-    * Malformed tables yield whatever parsed (the linear object scan remains
-    * the fallback). */
-  private def parseXrefChain(s: String): (Map[Int, Int], Option[String]) = {
+  /** `/Name [i1 i2 …]` integer array. */
+  private def intsAfterArray(dict: String, name: String): Vector[Int] = {
+    val i = dict.indexOf(name)
+    if (i < 0) return Vector.empty
+    val open = dict.indexOf('[', i + name.length)
+    val close = if (open < 0) -1 else dict.indexOf(']', open)
+    if (open < 0 || close < 0) return Vector.empty
+    dict.substring(open + 1, close).trim.split("\\s+").toVector
+      .flatMap(t => try Some(t.toInt) catch { case _: NumberFormatException => None })
+  }
+
+  /** Everything one xref chain resolves: type-1 entries (objNum → byte
+    * offset), type-2 entries (objNum → (container ObjStm num, index within
+    * it)), and the newest trailer/XRef dict. */
+  private final case class XrefInfo(offsets: Map[Int, Int],
+                                    inStm: Map[Int, (Int, Int)],
+                                    trailer: Option[String])
+
+  /** Cross-reference chain: follow `startxref` to the newest section, then
+    * `/Prev` links to older ones, NEWEST-section-wins — this is what makes
+    * incremental updates (same object number redefined later in the file)
+    * resolve to the live definition. Handles BOTH section kinds:
+    *
+    *  - classic tables (§7.5.4): `xref` keyword, `start count` subsections,
+    *    20-byte `offset gen n/f` entries, `trailer << … >>`;
+    *  - cross-reference STREAMS (§7.5.8, PDF 1.5+): a `/Type /XRef` stream
+    *    object whose dict doubles as the trailer; binary rows of `/W`-sized
+    *    big-endian fields, `/Index` subsections, type 1 = byte offset,
+    *    type 2 = (ObjStm number, index) — the layout every modern PDF
+    *    writer emits together with `/ObjStm`.
+    *
+    * Malformed sections yield whatever parsed (the linear object scan
+    * remains the fallback). */
+  private def parseXrefChain(s: String): XrefInfo = {
     val sx = s.lastIndexOf("startxref")
-    if (sx < 0) return (Map.empty, None)
+    if (sx < 0) return XrefInfo(Map.empty, Map.empty, None)
     val offM = java.util.regex.Pattern.compile("\\G\\s*(\\d+)").matcher(s)
     offM.region(sx + "startxref".length, math.min(s.length, sx + 64))
-    if (!offM.lookingAt()) return (Map.empty, None)
-    val resolved = mutable.Map.empty[Int, Int]
+    if (!offM.lookingAt()) return XrefInfo(Map.empty, Map.empty, None)
+    val offsets = mutable.Map.empty[Int, Int]
+    val inStm = mutable.Map.empty[Int, (Int, Int)]
+    def taken(num: Int) = offsets.contains(num) || inStm.contains(num)
     var trailerDict: Option[String] = None
     val seen = mutable.Set.empty[Int]
     var cur = try offM.group(1).toInt catch { case _: NumberFormatException => -1 }
@@ -458,6 +616,7 @@ object PdfLite {
       val xm = java.util.regex.Pattern.compile("\\G\\s*xref").matcher(s)
       xm.region(cur, math.min(s.length, cur + 32))
       if (xm.lookingAt()) {
+        // ---- classic table ----
         var pos = xm.end()
         var more = true
         while (more) {
@@ -475,7 +634,7 @@ object PdfLite {
               if (em.lookingAt()) {
                 if (em.group(3) == "n") {
                   val num = start + k
-                  if (!resolved.contains(num)) resolved(num) = em.group(1).toInt
+                  if (!taken(num)) offsets(num) = em.group(1).toInt
                 }
                 pos = em.end(); k += 1
               } else { ok = false; more = false }
@@ -487,18 +646,54 @@ object PdfLite {
           if (trailerDict.isEmpty) trailerDict = Some(d)
           next = intAfter(d, "/Prev").getOrElse(-1)
         }
+      } else objAt(s, cur) match {
+        // ---- xref stream ----
+        case Some(o) if o.dict.contains("/Type /XRef") && o.hasStream =>
+          val w = intsAfterArray(o.dict, "/W")
+          val size = intAfter(o.dict, "/Size").getOrElse(0)
+          if (w.length >= 3 && w.forall(x => x >= 0 && x <= 8)) {
+            val idx0 = intsAfterArray(o.dict, "/Index")
+            val index = if (idx0.length >= 2) idx0.grouped(2).collect {
+              case Vector(a, b) => (a, b) }.toVector else Vector((0, size))
+            val data = streamText(s, o)
+            val rowLen = w.take(3).sum
+            def field(pos: Int, width: Int): Long = {
+              var v = 0L; var j = 0
+              while (j < width) { v = (v << 8) | (data.charAt(pos + j) & 0xff); j += 1 }
+              v
+            }
+            var pos = 0
+            for ((start, count) <- index; k <- 0 until count
+                 if pos + rowLen <= data.length) {
+              val t = if (w(0) == 0) 1L else field(pos, w(0))
+              val f2 = field(pos + w(0), w(1))
+              val f3 = field(pos + w(0) + w(1), w(2))
+              val num = start + k
+              if (!taken(num)) t match {
+                case 1L => offsets(num) = f2.toInt
+                case 2L => inStm(num) = (f2.toInt, f3.toInt)
+                case _ => // free / unknown type
+              }
+              pos += rowLen
+            }
+          }
+          if (trailerDict.isEmpty) trailerDict = Some(o.dict)
+          next = intAfter(o.dict, "/Prev").getOrElse(-1)
+        case _ =>
       }
       cur = next
     }
-    (resolved.toMap, trailerDict)
+    XrefInfo(offsets.toMap, inStm.toMap, trailerDict)
   }
 
   /** Expand `/Type /ObjStm` object streams (PDF 32000-1 §7.5.7): inflate,
     * read the N (objnum, relative-offset) header pairs, slice out each
-    * embedded dict-only object. Scan-based (no xref stream needed) — the
-    * recovered objects never shadow a top-level definition. */
-  private def expandObjStms(objs: Iterable[PdfObj], s: String): Vector[PdfObj] = {
-    val out = Vector.newBuilder[PdfObj]
+    * embedded dict-only object. Keyed by container object number so xref
+    * type-2 entries (`objNum → (container, index)`) can resolve
+    * authoritatively; the scan-based flat view fills in numbers no xref
+    * mentions. The recovered objects never shadow a top-level definition. */
+  private def expandObjStms(objs: Iterable[PdfObj], s: String): Map[Int, Vector[PdfObj]] = {
+    val out = Map.newBuilder[Int, Vector[PdfObj]]
     for (o <- objs if o.hasStream && o.dict.contains("/ObjStm")) {
       val data = streamText(s, o)
       val first = intAfter(o.dict, "/First").getOrElse(-1)
@@ -510,25 +705,83 @@ object PdfLite {
             try Some((header(2 * k).toInt, header(2 * k + 1).toInt))
             catch { case _: NumberFormatException => None }
           }
+          val objsIn = Vector.newBuilder[PdfObj]
           for (((num, rel), k) <- pairs.zipWithIndex) {
             val from = first + rel
             val until = if (k + 1 < pairs.length) math.min(data.length, first + pairs(k + 1)._2)
                         else data.length
             if (from >= 0 && from <= until && until <= data.length)
-              out += PdfObj(num, data.substring(from, until), -1, -1)
+              objsIn += PdfObj(num, data.substring(from, until), -1, -1)
           }
+          out += o.num -> objsIn.result()
         }
       }
     }
     out.result()
   }
 
-  /** Per-font encodings for a page: resolve `/Resources` (inline dict or
+  /** What the interpreter needs to know about one font resource: declared
+    * simple encoding and the `/ToUnicode` CMap (byte code → Unicode string),
+    * which — as in PyMuPDF — takes precedence for text extraction. */
+  private final case class FontInfo(winAnsi: Boolean, cmap: Map[Int, String])
+  private val DefaultFont = FontInfo(winAnsi = false, cmap = Map.empty)
+
+  /** Parse a `/ToUnicode` CMap's `bfchar`/`bfrange` sections (PDF 32000-1
+    * §9.10.3 / Adobe CMap spec): 1–2 byte source codes, UTF-16BE
+    * destinations; ranges support the scalar-destination form with the
+    * standard last-code-unit increment. Tolerant — anything unparseable is
+    * skipped. */
+  private def parseCMap(txt: String): Map[Int, String] = {
+    val out = mutable.Map.empty[Int, String]
+    def dst(hex: String): String = {
+      val sb = new java.lang.StringBuilder(hex.length / 4)
+      var k = 0
+      while (k + 4 <= hex.length) {
+        sb.append(Integer.parseInt(hex.substring(k, k + 4), 16).toChar)
+        k += 4
+      }
+      sb.toString
+    }
+    val charPat = java.util.regex.Pattern
+      .compile("<([0-9A-Fa-f]{2,4})>\\s*<([0-9A-Fa-f]+)>")
+    val rangePat = java.util.regex.Pattern
+      .compile("<([0-9A-Fa-f]{2,4})>\\s*<([0-9A-Fa-f]{2,4})>\\s*<([0-9A-Fa-f]+)>")
+    def sections(kw: String): Iterator[String] = {
+      val p = java.util.regex.Pattern.compile(
+        s"begin$kw(.*?)end$kw", java.util.regex.Pattern.DOTALL)
+      val m = p.matcher(txt)
+      Iterator.continually(m).takeWhile(_.find()).map(_.group(1))
+    }
+    try {
+      for (sec <- sections("bfrange")) {
+        val m = rangePat.matcher(sec)
+        while (m.find()) {
+          val lo = Integer.parseInt(m.group(1), 16)
+          val hi = Integer.parseInt(m.group(2), 16)
+          val d = dst(m.group(3))
+          if (d.nonEmpty && hi >= lo && hi - lo <= 0xffff) {
+            var c = lo
+            while (c <= hi) {
+              out(c) = d.dropRight(1) + (d.last + (c - lo)).toChar
+              c += 1
+            }
+          }
+        }
+      }
+      for (sec <- sections("bfchar")) {
+        val m = charPat.matcher(sec)
+        while (m.find())
+          out(Integer.parseInt(m.group(1), 16)) = dst(m.group(2))
+      }
+    } catch { case _: Exception => /* keep what parsed */ }
+    out.toMap
+  }
+
+  /** Per-font info for a page: resolve `/Resources` (inline dict or
     * reference, page-level else inherited), then `/Font << /Fi N 0 R … >>`,
-    * then each font object's `/Encoding`. Only the encodings the interpreter
-    * distinguishes are reported (WinAnsi vs default). */
-  private def fontEncodings(pageDict: String, inherited: Option[String],
-                            byNum: Map[Int, PdfObj]): Map[String, String] = {
+    * then each font object's `/Encoding` and `/ToUnicode`. */
+  private def fontInfos(s: String, pageDict: String, inherited: Option[String],
+                        byNum: Map[Int, PdfObj]): Map[String, FontInfo] = {
     def resourcesText(dict: String): Option[String] = {
       val i = dict.indexOf("/Resources")
       if (i < 0) None
@@ -544,11 +797,14 @@ object PdfLite {
       else dictSpan(r, fi + "/Font".length).map { fonts =>
         val m = java.util.regex.Pattern
           .compile("/(\\w+)\\s+(\\d+)\\s+\\d+\\s+R").matcher(fonts)
-        val out = Map.newBuilder[String, String]
+        val out = Map.newBuilder[String, FontInfo]
         while (m.find()) {
-          val enc = byNum.get(m.group(2).toInt)
-            .map(_.dict).getOrElse("")
-          if (enc.contains("/WinAnsiEncoding")) out += m.group(1) -> "WinAnsi"
+          val fontDict = byNum.get(m.group(2).toInt).map(_.dict).getOrElse("")
+          val cmap = refOf(fontDict, "/ToUnicode").flatMap(byNum.get)
+            .map(o => parseCMap(streamText(s, o))).getOrElse(Map.empty)
+          val winAnsi = fontDict.contains("/WinAnsiEncoding")
+          if (winAnsi || cmap.nonEmpty)
+            out += m.group(1) -> FontInfo(winAnsi, cmap)
         }
         out.result()
       }
@@ -587,21 +843,27 @@ object PdfLite {
     // resolution order (PDF semantics):
     //  1. linear scan, first definition wins — a spurious in-stream
     //     "N 0 obj" must not shadow the real object N;
-    //  2. classic xref chain OVERRIDES the scan — incremental updates
-    //     redefine an object later in the file and the newest xref section
-    //     is authoritative;
-    //  3. /ObjStm-embedded objects fill in numbers nothing top-level defines.
-    val (xrefMap, trailerDict) = parseXrefChain(s)
+    //  2. the xref chain (classic tables AND xref streams) OVERRIDES the
+    //     scan — incremental updates redefine an object later in the file
+    //     and the newest xref section is authoritative; type-2 entries
+    //     resolve through their ObjStm container by index;
+    //  3. /ObjStm-embedded objects fill in numbers nothing else defines.
+    val xref = parseXrefChain(s)
+    val trailerDict = xref.trailer
     val linearByNum = objs.foldLeft(Map.empty[Int, PdfObj]) { (m, o) =>
       if (m.contains(o.num)) m else m.updated(o.num, o)
     }
-    val xrefByNum = xrefMap.flatMap { case (num, off) =>
+    val xrefByNum = xref.offsets.flatMap { case (num, off) =>
       objAt(s, off).filter(_.num == num).map(num -> _)
     }
-    val topLevel = linearByNum ++ xrefByNum
     // ObjStm containers are themselves top-level objects, so the linear scan
     // always finds them (in file order — deterministic expansion)
-    val embedded = expandObjStms(objs, s)
+    val objStmMap = expandObjStms(objs, s)
+    val type2ByNum = xref.inStm.flatMap { case (num, (stm, idx)) =>
+      objStmMap.get(stm).flatMap(_.lift(idx)).filter(_.num == num).map(num -> _)
+    }
+    val topLevel = linearByNum ++ xrefByNum ++ type2ByNum
+    val embedded = objStmMap.toVector.sortBy(_._1).flatMap(_._2)
     val byNum = embedded.foldLeft(topLevel) { (m, o) =>
       if (m.contains(o.num)) m else m.updated(o.num, o)
     }
@@ -648,9 +910,9 @@ object PdfLite {
       for (((p, inh), idx) <- pageObjs.zipWithIndex) {
         val (w, h) = mediaBoxOf(p.dict).orElse(inh).getOrElse((612, 792))
         if (idx == 0) { firstW = w; firstH = h }
-        val encs = fontEncodings(p.dict, pagesNode.map(_.dict), byNum)
+        val fonts = fontInfos(s, p.dict, pagesNode.map(_.dict), byNum)
         val contents = refsOf(p.dict, "/Contents").flatMap(byNum.get)
-        for (c <- contents) interpret(contentOf(c), h, idx + 1, items, encs)
+        for (c <- contents) interpret(contentOf(c), h, idx + 1, items, fonts)
       }
       Parsed(items.result(), firstW, firstH, hasImage, pageObjs.length)
     } else {
@@ -677,16 +939,30 @@ object PdfLite {
     }
   }
 
-  /** Content-stream text state machine (PDF 32000-1 §9.4 subset). `encs`
+  /** 1-byte-code CMap application (our fonts' shown strings carry one code
+    * per char; 2-byte-source CMaps are parsed but apply per code unit). */
+  private def applyCMap(raw: String, cmap: Map[Int, String]): String = {
+    val sb = new java.lang.StringBuilder(raw.length)
+    var k = 0
+    while (k < raw.length) {
+      val c = raw.charAt(k)
+      val mapped = cmap.getOrElse(c.toInt, null)
+      if (mapped == null) sb.append(c) else sb.append(mapped)
+      k += 1
+    }
+    sb.toString
+  }
+
+  /** Content-stream text state machine (PDF 32000-1 §9.4 subset). `fonts`
     * maps font resource names (Tf's first operand) to their declared
-    * encoding; strings shown under a `/WinAnsiEncoding` font are re-read as
-    * windows-1252 before emission. */
+    * encoding/CMap; a `/ToUnicode` CMap takes precedence (PyMuPDF order),
+    * else `/WinAnsiEncoding` strings are re-read as windows-1252. */
   private def interpret(content: String, pageH: Int, pageNum: Int,
                         out: mutable.Builder[TextItem, Vector[TextItem]],
-                        encs: Map[String, String] = Map.empty): Unit = {
+                        fonts: Map[String, FontInfo] = Map.empty): Unit = {
     val toks = tokenize(content)
     var fontSize = 12.0
-    var winAnsi = false
+    var font = DefaultFont
     var leading = 0.0
     var tmx = 0.0; var tmy = 0.0   // current text position (PDF coords)
     var lmx = 0.0; var lmy = 0.0   // line-start position
@@ -695,7 +971,10 @@ object PdfLite {
     def num(t: Tok): Double = t match { case TNum(v) => v; case _ => 0.0 }
 
     def emit(raw: String): Unit = {
-      val decoded = if (winAnsi) winAnsiText(raw) else raw
+      val decoded =
+        if (font.cmap.nonEmpty) applyCMap(raw, font.cmap)
+        else if (font.winAnsi) winAnsiText(raw)
+        else raw
       val text = Py.strip(decoded)
       val width = decoded.length * CharWidthFactor * fontSize
       if (text.nonEmpty) {
@@ -714,7 +993,7 @@ object PdfLite {
       case TOp("Tf") =>
         if (operands.nonEmpty) fontSize = num(operands.last)
         if (operands.length >= 2) operands(operands.length - 2) match {
-          case TName(f) => winAnsi = encs.get(f).contains("WinAnsi")
+          case TName(f) => font = fonts.getOrElse(f, DefaultFont)
           case _ =>
         }
         operands.clear()

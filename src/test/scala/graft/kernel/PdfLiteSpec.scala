@@ -277,6 +277,56 @@ class PdfLiteSpec extends AnyFunSuite {
     assert(win.items.map(_.text) == Vector("a?b — c"))
   }
 
+  test("PDF 1.5 xref STREAM: /W rows + type-2 ObjStm entries parse identically") {
+    val plain = PdfLite.parse(doc3(compress = false))
+    val viaXrefStm = PdfLite.parse(PdfLite.writeDoc(
+      (1 to 3).map(p => PdfLite.PageSpec(800, 1000, runsOf(p, 100 + 10 * p))),
+      xrefStream = true))
+    assert(viaXrefStm.items == plain.items && viaXrefStm.nPages == 3)
+    // the modern-writer combo: structural dicts in an ObjStm, located by
+    // type-2 entries of a compressed xref stream
+    val modernBytes = PdfLite.writeDoc(
+      (1 to 3).map(p => PdfLite.PageSpec(800, 1000, runsOf(p, 100 + 10 * p))),
+      compress = true, objStm = true, xrefStream = true)
+    val s = new String(modernBytes, StandardCharsets.ISO_8859_1)
+    assert(s.contains("/Type /XRef") && s.contains("/ObjStm"))
+    val modern = PdfLite.parse(modernBytes)
+    assert(modern.items == plain.items && modern.nPages == 3)
+    assert(modern.pageW == 800 && modern.pageH == 1000)
+  }
+
+  test("/ToUnicode CMap: non-Latin chars round-trip through doc-local codes") {
+    val text = "αβγ — résumé ↦ Ω" // Greek/arrow/Omega: beyond cp1252 entirely
+    val bytes = PdfLite.writeDoc(Seq(PdfLite.PageSpec(400, 400,
+      Seq(PdfLite.Run(10, 50, 12, text)))), toUnicode = true)
+    val s = new String(bytes, StandardCharsets.ISO_8859_1)
+    assert(s.contains("/ToUnicode") && s.contains("beginbfchar"))
+    // the serialized stream does NOT contain the text — Tj bytes are private
+    // codes that only the CMap can decode (the subset-font reality)
+    assert(!s.contains("résumé"))
+    val parsed = PdfLite.parse(bytes)
+    assert(parsed.items.map(_.text) == Vector(text), parsed.items)
+    // and through Flate + TJ + hex paths
+    for ((c, tj, hx) <- Seq((true, 0, 0), (false, 1, 0), (true, 0, 1))) {
+      val p2 = PdfLite.parse(PdfLite.writeDoc(Seq(PdfLite.PageSpec(400, 400,
+        Seq(PdfLite.Run(10, 50, 12, text)))),
+        toUnicode = true, compress = c, tjEvery = tj, hexEvery = hx))
+      assert(p2.items.map(_.text).mkString(" ") == text, (c, tj, hx, p2.items))
+    }
+  }
+
+  test("ASCIIHexDecode: hex-armored streams, alone and chained over Flate") {
+    val plain = PdfLite.parse(doc3(compress = false))
+    val hexed = PdfLite.parse(PdfLite.writeDoc(
+      (1 to 3).map(p => PdfLite.PageSpec(800, 1000, runsOf(p, 100 + 10 * p))),
+      hexArmor = true))
+    assert(hexed.items == plain.items)
+    val chained = PdfLite.parse(PdfLite.writeDoc(
+      (1 to 3).map(p => PdfLite.PageSpec(800, 1000, runsOf(p, 100 + 10 * p))),
+      compress = true, hexArmor = true))
+    assert(chained.items == plain.items && chained.nPages == 3)
+  }
+
   test("garbage xref/startxref sections degrade to the linear scan, never throw") {
     val good = doc3(compress = false)
     val tail = "xref\n0 banana\ntrailer << /Root nope >>\nstartxref\nnotanumber\n%%EOF\n"

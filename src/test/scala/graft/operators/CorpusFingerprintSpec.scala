@@ -44,12 +44,19 @@ class CorpusFingerprintSpec extends AnyFunSuite {
     assert(pdfs.exists { case (_, p) =>
       java.util.regex.Pattern.compile("<[0-9A-F]+> Tj").matcher(raw(p.html)).find() },
       "hex-string branch not sampled")
-    assert(pdfs.exists { case (_, p) => raw(p.html).contains("startxref") },
+    assert(pdfs.exists { case (_, p) =>
+      val r = raw(p.html); r.contains("startxref") && r.contains("trailer") },
       "classic-xref branch not sampled")
+    assert(pdfs.exists { case (_, p) => raw(p.html).contains("/Type /XRef") },
+      "xref-STREAM branch not sampled")
     assert(pdfs.exists { case (_, p) => raw(p.html).contains("/ObjStm") },
       "/ObjStm branch not sampled")
     assert(pdfs.exists { case (_, p) => raw(p.html).contains("/WinAnsiEncoding") },
       "WinAnsiEncoding branch not sampled")
+    assert(pdfs.exists { case (_, p) => raw(p.html).contains("/ToUnicode") },
+      "/ToUnicode branch not sampled")
+    assert(pdfs.exists { case (_, p) => raw(p.html).contains("/ASCIIHexDecode") },
+      "ASCIIHex-armor branch not sampled")
     for (v <- Seq("newark", "sysco", "test"))
       assert(pdfs.exists(_._2.url.contains(s"/$v/")), s"vendor $v not sampled")
     for (l <- Seq("en", "de", "es"))
