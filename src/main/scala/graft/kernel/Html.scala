@@ -207,7 +207,7 @@ object Html {
   /** Subtree text statistics; script/style never enter the DOM as text. */
   def stats(node: Node, inLink: Boolean = false): BlockStats = node match {
     case Text(s) =>
-      val len = normalizeWs(s).length
+      val len = normalizeWsLen(s)
       BlockStats(len, if (inLink) len else 0, 0)
     case Elem(name, _, children) =>
       var t = 0; var l = 0; var p = 0
@@ -230,7 +230,7 @@ object Html {
     var t = 0; var l = 0; var p = 0
     def walk(node: Node, inLink: Boolean): Unit = node match {
       case Text(s) =>
-        val len = normalizeWs(s).length
+        val len = normalizeWsLen(s)
         t += len; if (inLink) l += len
       case Elem(name, _, _) if candidateElems.contains(name) || boilerplateElems.contains(name) =>
         () // nested container: its text belongs to it, not to us
@@ -256,7 +256,7 @@ object Html {
     def compute(e: Elem): BlockStats = {
       var t = 0; var l = 0; var p = 0
       for (c <- e.children) c match {
-        case Text(s) => t += normalizeWs(s).length
+        case Text(s) => t += normalizeWsLen(s)
         case el: Elem =>
           val s = compute(el) // memoize the whole tree: containers are
           // skipped by PARENTS but still need their own stats as candidates
@@ -298,6 +298,28 @@ object Html {
     }
     walk(root, inBoiler = false)
     best
+  }
+
+  /** `normalizeWs(s).length` without building the string — the stats walks
+    * (`stats`/`ownStats`/`ownStatsAll`) only ever need the normalized LENGTH,
+    * and they visit every text node on every page, so the per-node
+    * StringBuilder+String of [[normalizeWs]] was pure allocation churn.
+    * Equivalence: count = non-space chars + internal space runs (a run
+    * counts iff some non-space precedes and follows it). */
+  def normalizeWsLen(s: String): Int = {
+    var count = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Py.isSpace(c)) { if (count > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { count += 1; pendingSpace = false }
+        count += 1
+      }
+      i += 1
+    }
+    count
   }
 
   def normalizeWs(s: String): String = {

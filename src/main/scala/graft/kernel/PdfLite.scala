@@ -417,24 +417,37 @@ object PdfLite {
     out.result()
   }
 
+  // hot-path patterns, compiled ONCE (JFR: per-call Pattern.compile and the
+  // substring(...).trim tail copies were ~15% of parse CPU); matchers use
+  // region() on the original string instead of allocating tails
+  private val RefHerePat = java.util.regex.Pattern.compile("\\G\\s*(\\d+)\\s+\\d+\\s+R")
+  private val RefAnyPat = java.util.regex.Pattern.compile("(\\d+)\\s+\\d+\\s+R")
+  private val IntHerePat = java.util.regex.Pattern.compile("\\G\\s+(\\d+)")
+  private val ObjHeaderPat = java.util.regex.Pattern.compile("\\G\\s*(\\d+)\\s+\\d+\\s+obj")
+  private val XrefKwPat = java.util.regex.Pattern.compile("\\G\\s*xref")
+  private val XrefOffPat = java.util.regex.Pattern.compile("\\G\\s*(\\d+)")
+  private val XrefEntryPat = java.util.regex.Pattern.compile("\\G\\s*(\\d{10})\\s+(\\d{5})\\s+([nf])")
+  private val XrefSubPat = java.util.regex.Pattern.compile("\\G\\s*(\\d+)\\s+(\\d+)")
+
   /** `/Name <num> 0 R` single reference. */
   private def refOf(dict: String, name: String): Option[Int] = {
     val i = dict.indexOf(name)
     if (i < 0) return None
-    val tail = dict.substring(i + name.length).trim
-    val m = java.util.regex.Pattern.compile("^(\\d+)\\s+\\d+\\s+R").matcher(tail)
-    if (m.find()) Some(m.group(1).toInt) else None
+    val m = RefHerePat.matcher(dict)
+    m.region(i + name.length, dict.length)
+    if (m.lookingAt()) Some(m.group(1).toInt) else None
   }
 
   /** `/Name [n 0 R n 0 R …]` reference array (also accepts a single ref). */
   private def refsOf(dict: String, name: String): Vector[Int] = {
     val i = dict.indexOf(name)
     if (i < 0) return Vector.empty
-    val tail = dict.substring(i + name.length).trim
-    if (tail.startsWith("[")) {
-      val close = tail.indexOf(']')
-      val inner = if (close < 0) tail.substring(1) else tail.substring(1, close)
-      val m = java.util.regex.Pattern.compile("(\\d+)\\s+\\d+\\s+R").matcher(inner)
+    var k = i + name.length
+    while (k < dict.length && dict.charAt(k).isWhitespace) k += 1
+    if (k < dict.length && dict.charAt(k) == '[') {
+      val close = dict.indexOf(']', k)
+      val m = RefAnyPat.matcher(dict)
+      m.region(k + 1, if (close < 0) dict.length else close)
       val out = Vector.newBuilder[Int]
       while (m.find()) out += m.group(1).toInt
       out.result()
@@ -518,9 +531,9 @@ object PdfLite {
   private def intAfter(dict: String, name: String): Option[Int] = {
     val i = dict.indexOf(name)
     if (i < 0) return None
-    val m = java.util.regex.Pattern.compile("^\\s+(\\d+)")
-      .matcher(dict.substring(i + name.length))
-    if (m.find()) Some(m.group(1).toInt) else None
+    val m = IntHerePat.matcher(dict)
+    m.region(i + name.length, dict.length)
+    if (m.lookingAt()) Some(m.group(1).toInt) else None
   }
 
   /** Balanced `<< … >>` dict text starting at/after `from` (None if absent
@@ -545,8 +558,7 @@ object PdfLite {
     * stream with the usual endstream/endobj recovery. */
   private def objAt(s: String, off: Int): Option[PdfObj] = {
     if (off < 0 || off >= s.length) return None
-    val m = java.util.regex.Pattern.compile("\\G\\s*(\\d+)\\s+\\d+\\s+obj")
-      .matcher(s)
+    val m = ObjHeaderPat.matcher(s)
     m.region(off, math.min(s.length, off + 64))
     if (!m.lookingAt()) return None
     val num = try m.group(1).toInt catch { case _: NumberFormatException => return None }
@@ -600,7 +612,7 @@ object PdfLite {
   private def parseXrefChain(s: String): XrefInfo = {
     val sx = s.lastIndexOf("startxref")
     if (sx < 0) return XrefInfo(Map.empty, Map.empty, None)
-    val offM = java.util.regex.Pattern.compile("\\G\\s*(\\d+)").matcher(s)
+    val offM = XrefOffPat.matcher(s)
     offM.region(sx + "startxref".length, math.min(s.length, sx + 64))
     if (!offM.lookingAt()) return XrefInfo(Map.empty, Map.empty, None)
     val offsets = mutable.Map.empty[Int, Int]
@@ -609,11 +621,11 @@ object PdfLite {
     var trailerDict: Option[String] = None
     val seen = mutable.Set.empty[Int]
     var cur = try offM.group(1).toInt catch { case _: NumberFormatException => -1 }
-    val entryPat = java.util.regex.Pattern.compile("\\G\\s*(\\d{10})\\s+(\\d{5})\\s+([nf])")
-    val subPat = java.util.regex.Pattern.compile("\\G\\s*(\\d+)\\s+(\\d+)")
+    val entryPat = XrefEntryPat
+    val subPat = XrefSubPat
     while (cur >= 0 && cur < s.length && seen.add(cur)) {
       var next = -1
-      val xm = java.util.regex.Pattern.compile("\\G\\s*xref").matcher(s)
+      val xm = XrefKwPat.matcher(s)
       xm.region(cur, math.min(s.length, cur + 32))
       if (xm.lookingAt()) {
         // ---- classic table ----
@@ -726,6 +738,17 @@ object PdfLite {
   private final case class FontInfo(winAnsi: Boolean, cmap: Map[Int, String])
   private val DefaultFont = FontInfo(winAnsi = false, cmap = Map.empty)
 
+  private val CMapCharPat = java.util.regex.Pattern
+    .compile("<([0-9A-Fa-f]{2,4})>\\s*<([0-9A-Fa-f]+)>")
+  private val CMapRangePat = java.util.regex.Pattern
+    .compile("<([0-9A-Fa-f]{2,4})>\\s*<([0-9A-Fa-f]{2,4})>\\s*<([0-9A-Fa-f]+)>")
+  private val CMapBfRangePat = java.util.regex.Pattern
+    .compile("beginbfrange(.*?)endbfrange", java.util.regex.Pattern.DOTALL)
+  private val CMapBfCharPat = java.util.regex.Pattern
+    .compile("beginbfchar(.*?)endbfchar", java.util.regex.Pattern.DOTALL)
+  private val FontRefPat = java.util.regex.Pattern
+    .compile("/(\\w+)\\s+(\\d+)\\s+\\d+\\s+R")
+
   /** Parse a `/ToUnicode` CMap's `bfchar`/`bfrange` sections (PDF 32000-1
     * §9.10.3 / Adobe CMap spec): 1–2 byte source codes, UTF-16BE
     * destinations; ranges support the scalar-destination form with the
@@ -742,13 +765,10 @@ object PdfLite {
       }
       sb.toString
     }
-    val charPat = java.util.regex.Pattern
-      .compile("<([0-9A-Fa-f]{2,4})>\\s*<([0-9A-Fa-f]+)>")
-    val rangePat = java.util.regex.Pattern
-      .compile("<([0-9A-Fa-f]{2,4})>\\s*<([0-9A-Fa-f]{2,4})>\\s*<([0-9A-Fa-f]+)>")
+    val charPat = CMapCharPat
+    val rangePat = CMapRangePat
     def sections(kw: String): Iterator[String] = {
-      val p = java.util.regex.Pattern.compile(
-        s"begin$kw(.*?)end$kw", java.util.regex.Pattern.DOTALL)
+      val p = if (kw == "bfrange") CMapBfRangePat else CMapBfCharPat
       val m = p.matcher(txt)
       Iterator.continually(m).takeWhile(_.find()).map(_.group(1))
     }
@@ -795,8 +815,7 @@ object PdfLite {
       val fi = r.indexOf("/Font")
       if (fi < 0) None
       else dictSpan(r, fi + "/Font".length).map { fonts =>
-        val m = java.util.regex.Pattern
-          .compile("/(\\w+)\\s+(\\d+)\\s+\\d+\\s+R").matcher(fonts)
+        val m = FontRefPat.matcher(fonts)
         val out = Map.newBuilder[String, FontInfo]
         while (m.find()) {
           val fontDict = byNum.get(m.group(2).toInt).map(_.dict).getOrElse("")
@@ -836,7 +855,14 @@ object PdfLite {
     * malformed stream yields the items recovered so far; no recognizable page
     * tree ⇒ every stream interpreted as page 1 (round-1 dialect and garbage
     * both land here). */
-  def parse(bytes: Array[Byte]): Parsed = {
+  def parse(bytes: Array[Byte]): Parsed = parseImpl(bytes, run = true)
+
+  /** Structure resolution only (objects, xref, page tree, stream decode) with
+    * content interpretation skipped — a profiling seam, not a public API. */
+  private[graft] def parseStructureOnly(bytes: Array[Byte]): Parsed =
+    parseImpl(bytes, run = false)
+
+  private def parseImpl(bytes: Array[Byte], run: Boolean): Parsed = {
     val s = new String(bytes, Latin1)
     val hasImage = s.contains("/Subtype /Image")
     val objs = scanObjects(s)
@@ -912,7 +938,10 @@ object PdfLite {
         if (idx == 0) { firstW = w; firstH = h }
         val fonts = fontInfos(s, p.dict, pagesNode.map(_.dict), byNum)
         val contents = refsOf(p.dict, "/Contents").flatMap(byNum.get)
-        for (c <- contents) interpret(contentOf(c), h, idx + 1, items, fonts)
+        for (c <- contents) {
+          val txt = contentOf(c)
+          if (run) interpret(txt, h, idx + 1, items, fonts)
+        }
       }
       Parsed(items.result(), firstW, firstH, hasImage, pageObjs.length)
     } else {
@@ -920,7 +949,11 @@ object PdfLite {
       val (w, h) = objs.iterator.flatMap(o => mediaBoxOf(o.dict)).nextOption()
         .orElse(Option(s).flatMap(mediaBoxOf)).getOrElse((612, 792))
       var any = false
-      for (o <- objs if o.hasStream) { any = true; interpret(contentOf(o), h, 1, items) }
+      for (o <- objs if o.hasStream) {
+        any = true
+        val txt = contentOf(o)
+        if (run) interpret(txt, h, 1, items)
+      }
       if (!any) {
         // degenerate: raw "stream … endstream" spans with no object skeleton
         var from = 0
@@ -930,7 +963,7 @@ object PdfLite {
           if (cs < s.length && s.charAt(cs) == '\r') cs += 1
           if (cs < s.length && s.charAt(cs) == '\n') cs += 1
           val e = s.indexOf("endstream", cs)
-          interpret(s.substring(cs, if (e < 0) s.length else e), h, 1, items)
+          if (run) interpret(s.substring(cs, if (e < 0) s.length else e), h, 1, items)
           from = if (e < 0) s.length else e + "endstream".length
           k = s.indexOf("stream", from)
         }
@@ -953,22 +986,61 @@ object PdfLite {
     sb.toString
   }
 
-  /** Content-stream text state machine (PDF 32000-1 §9.4 subset). `fonts`
-    * maps font resource names (Tf's first operand) to their declared
+  /** Content-stream text state machine (PDF 32000-1 §9.4 subset), STREAMING:
+    * one cursor pass over the content, no intermediate token vector and no
+    * boxed numbers outside `TJ` arrays (the interpreter is ~2/3 of parse CPU
+    * on the bench corpus — this is the hot loop of the whole native route).
+    *
+    * The operand window exploits a state-machine fact: every operator here
+    * reads at most the LAST TWO operands plus the operand COUNT (`Tm` requires
+    * six but uses only e and f, the translation column), so the buffer is two
+    * scalar register sets instead of a growing `ArrayBuffer[Tok]`. Non-number
+    * operands read as 0.0 in number position, exactly like the old `num()`.
+    *
+    * `fonts` maps font resource names (Tf's first operand) to their declared
     * encoding/CMap; a `/ToUnicode` CMap takes precedence (PyMuPDF order),
-    * else `/WinAnsiEncoding` strings are re-read as windows-1252. */
+    * else `/WinAnsiEncoding` strings are re-read as windows-1252.
+    *
+    * Array handling keeps the old tokenizer's shape: nesting capped at 32
+    * (deeper brackets are dropped and their elements flatten into the
+    * depth-32 array); only top-level string/number elements of an array are
+    * retained — `TJ` ignores everything else anyway. Skip-paths (stray
+    * brackets, `-`/`.` non-numbers) are iterative: recursion is only per
+    * array-nesting level, which is capped. */
   private def interpret(content: String, pageH: Int, pageNum: Int,
                         out: mutable.Builder[TextItem, Vector[TextItem]],
                         fonts: Map[String, FontInfo] = Map.empty): Unit = {
-    val toks = tokenize(content)
+    var i = 0
+    val n = content.length
+    val MaxArrayNesting = 32
+    // operand kinds
+    val KNum = 0; val KStr = 1; val KName = 2; val KArr = 3; val KOther = 4
+
+    // interpreter state
     var fontSize = 12.0
     var font = DefaultFont
     var leading = 0.0
     var tmx = 0.0; var tmy = 0.0   // current text position (PDF coords)
     var lmx = 0.0; var lmy = 0.0   // line-start position
-    val operands = mutable.ArrayBuffer.empty[Tok]
 
-    def num(t: Tok): Double = t match { case TNum(v) => v; case _ => 0.0 }
+    // operand window: count since last operator + last two operands
+    var opCount = 0
+    var lastKind = KOther; var lastNum = 0.0; var lastStr: String = null
+    var prevKind = KOther; var prevNum = 0.0; var prevStr: String = null
+    var lastArr: mutable.ArrayBuffer[AnyRef] = null
+
+    def clearOps(): Unit = {
+      opCount = 0
+      lastKind = KOther; lastNum = 0.0; lastStr = null
+      prevKind = KOther; prevNum = 0.0; prevStr = null
+      lastArr = null
+    }
+    def push(kind: Int, num: Double, str: String,
+             arr: mutable.ArrayBuffer[AnyRef]): Unit = {
+      prevKind = lastKind; prevNum = lastNum; prevStr = lastStr
+      lastKind = kind; lastNum = num; lastStr = str; lastArr = arr
+      opCount += 1
+    }
 
     def emit(raw: String): Unit = {
       val decoded =
@@ -986,98 +1058,76 @@ object PdfLite {
       tmx += width
     }
 
-    for (tok <- toks) tok match {
-      case TOp("BT") =>
-        tmx = 0; tmy = 0; lmx = 0; lmy = 0; operands.clear()
-      case TOp("ET") => operands.clear()
-      case TOp("Tf") =>
-        if (operands.nonEmpty) fontSize = num(operands.last)
-        if (operands.length >= 2) operands(operands.length - 2) match {
-          case TName(f) => font = fonts.getOrElse(f, DefaultFont)
-          case _ =>
-        }
-        operands.clear()
-      case TOp("Td") | TOp("TD") =>
-        if (operands.length >= 2) {
-          val tx = num(operands(operands.length - 2))
-          val ty = num(operands(operands.length - 1))
-          lmx += tx; lmy += ty; tmx = lmx; tmy = lmy
-          if (tok == TOp("TD")) leading = -ty
-        }
-        operands.clear()
-      case TOp("Tm") =>
-        if (operands.length >= 6) {
-          tmx = num(operands(operands.length - 2))
-          tmy = num(operands(operands.length - 1))
-          lmx = tmx; lmy = tmy
-        }
-        operands.clear()
-      case TOp("T*") =>
-        lmy -= leading; tmx = lmx; tmy = lmy; operands.clear()
-      case TOp("Tj") =>
-        operands.lastOption match {
-          case Some(TStr(raw)) => emit(raw)
-          case _ =>
-        }
-        operands.clear()
-      case TOp("TJ") =>
-        operands.lastOption match {
-          case Some(TArr(elems)) =>
-            for (e <- elems) e match {
-              case TStr(raw) => emit(raw)
-              case TNum(n) => tmx -= n / 1000.0 * fontSize // standard kerning advance
+    def handleOp(op: String): Unit = {
+      op match {
+        case "BT" => tmx = 0; tmy = 0; lmx = 0; lmy = 0
+        case "ET" =>
+        case "Tf" =>
+          if (opCount >= 1) fontSize = lastNum
+          if (opCount >= 2 && prevKind == KName)
+            font = fonts.getOrElse(prevStr, DefaultFont)
+        case "Td" | "TD" =>
+          if (opCount >= 2) {
+            lmx += prevNum; lmy += lastNum; tmx = lmx; tmy = lmy
+            if (op == "TD") leading = -lastNum
+          }
+        case "Tm" =>
+          if (opCount >= 6) { tmx = prevNum; tmy = lastNum; lmx = tmx; lmy = tmy }
+        case "T*" => lmy -= leading; tmx = lmx; tmy = lmy
+        case "Tj" => if (lastKind == KStr) emit(lastStr)
+        case "TJ" =>
+          if (lastKind == KArr && lastArr != null) {
+            val it = lastArr.iterator
+            while (it.hasNext) it.next() match {
+              case s: String => emit(s)
+              case d: java.lang.Double =>
+                tmx -= d.doubleValue / 1000.0 * fontSize // standard kerning advance
               case _ =>
             }
-          case _ =>
-        }
-        operands.clear()
-      case TOp(_) => operands.clear() // unknown operator: drop operands
-      case t => operands += t
+          }
+        case _ => // unknown operator: just drops operands
+      }
+      clearOps()
     }
-  }
 
-  private sealed trait Tok
-  private final case class TNum(v: Double) extends Tok
-  private final case class TStr(s: String) extends Tok
-  private final case class TName(s: String) extends Tok
-  private final case class TArr(elems: Vector[Tok]) extends Tok
-  private final case class TOp(s: String) extends Tok
-
-  private def tokenize(content: String): Vector[Tok] = {
-    var i = 0
-    val n = content.length
-
-    def literalString(): TStr = { // caller consumed '('
+    def literalString(): String = { // caller consumed '('
       val sb = new java.lang.StringBuilder
       var depth = 1
       while (i < n && depth > 0) {
-        val ch = content.charAt(i)
-        if (ch == '\\' && i + 1 < n) {
-          content.charAt(i + 1) match {
-            case 'n' => sb.append('\n'); i += 2
-            case 'r' => sb.append('\r'); i += 2
-            case 't' => sb.append('\t'); i += 2
-            case '\n' => i += 2 // line continuation (PDF 32000-1 §7.3.4.2)
-            case '\r' => // \<CR> or \<CRLF> continuation
-              i += 2
-              if (i < n && content.charAt(i) == '\n') i += 1
-            case d if d >= '0' && d <= '7' => // octal \d, \dd or \ddd
-              var v = 0; var k = 0; i += 1
-              while (k < 3 && i < n && content.charAt(i) >= '0' &&
-                     content.charAt(i) <= '7') {
-                v = (v << 3) | (content.charAt(i) - '0'); i += 1; k += 1
-              }
-              sb.append((v & 0xff).toChar)
-            case other => sb.append(other); i += 2
-          }
-        } else if (ch == '(') { depth += 1; sb.append(ch); i += 1 }
-        else if (ch == ')') { depth -= 1; if (depth > 0) sb.append(ch); i += 1 }
-        else { sb.append(ch); i += 1 }
+        // bulk-copy the run up to the next special char (escape/paren)
+        val spanStart = i
+        while (i < n && { val ch = content.charAt(i)
+                          ch != '\\' && ch != '(' && ch != ')' }) i += 1
+        if (i > spanStart) sb.append(content, spanStart, i)
+        if (i < n) {
+          val ch = content.charAt(i)
+          if (ch == '\\' && i + 1 < n) {
+            content.charAt(i + 1) match {
+              case 'n' => sb.append('\n'); i += 2
+              case 'r' => sb.append('\r'); i += 2
+              case 't' => sb.append('\t'); i += 2
+              case '\n' => i += 2 // line continuation (PDF 32000-1 §7.3.4.2)
+              case '\r' => // \<CR> or \<CRLF> continuation
+                i += 2
+                if (i < n && content.charAt(i) == '\n') i += 1
+              case d if d >= '0' && d <= '7' => // octal \d, \dd or \ddd
+                var v = 0; var k = 0; i += 1
+                while (k < 3 && i < n && content.charAt(i) >= '0' &&
+                       content.charAt(i) <= '7') {
+                  v = (v << 3) | (content.charAt(i) - '0'); i += 1; k += 1
+                }
+                sb.append((v & 0xff).toChar)
+              case other => sb.append(other); i += 2
+            }
+          } else if (ch == '(') { depth += 1; sb.append(ch); i += 1 }
+          else if (ch == ')') { depth -= 1; if (depth > 0) sb.append(ch); i += 1 }
+          else { sb.append(ch); i += 1 } // trailing '\' at end of content
+        }
       }
-      TStr(sb.toString)
+      sb.toString
     }
 
-    def hexStringTok(): TStr = { // caller consumed '<'
+    def hexString(): String = { // caller consumed '<'
       val sb = new java.lang.StringBuilder
       var hi = -1
       var done = false
@@ -1094,73 +1144,116 @@ object PdfLite {
         }
       }
       if (hi >= 0) sb.append((hi << 4).toChar) // odd final digit: low nibble 0
-      TStr(sb.toString)
+      sb.toString
     }
 
-    val MaxArrayNesting = 32
+    /** Parse a number starting at `i` (caller checked the first char). Returns
+      * NaN and leaves the chars consumed when the span isn't a number — the
+      * old tokenizer's NFE skip-path. Pure-integer spans (the overwhelming
+      * majority: coordinates, font sizes, TJ kerns are written as ints) take
+      * an exact digit-fold fast path; anything with a '.' falls back to
+      * `Double.parseDouble` so decimal values stay bit-identical. */
+    def number(): Double = {
+      val start = i
+      var hasDot = content.charAt(i) == '.'
+      i += 1
+      while (i < n && (content.charAt(i).isDigit || content.charAt(i) == '.')) {
+        if (content.charAt(i) == '.') hasDot = true
+        i += 1
+      }
+      val c0 = content.charAt(start)
+      val digits0 = if (c0 == '-' || c0 == '+') start + 1 else start
+      if (!hasDot && i > digits0 && i - digits0 <= 15) {
+        var v = 0L
+        var k = digits0
+        while (k < i) { v = v * 10 + (content.charAt(k) - '0'); k += 1 }
+        if (c0 == '-') -v.toDouble else v.toDouble // ≤15 digits: exact in a double
+      } else if (!hasDot && i == digits0) Double.NaN // bare sign: old NFE path
+      else {
+        try content.substring(start, i).toDouble
+        catch { case _: NumberFormatException => Double.NaN }
+      }
+    }
 
-    // iterative skip-paths (a stream of '- - -' NFE hits or stray ']'s must
-    // not grow the call stack — recursion here is only per ARRAY NESTING
-    // level, which is depth-capped)
-    def one(depth: Int): Option[Tok] = {
-      while (true) {
+    def skipName(): String = {
+      val start = i + 1
+      i += 1
+      while (i < n && !content.charAt(i).isWhitespace && content.charAt(i) != '/' &&
+             content.charAt(i) != '(' && content.charAt(i) != '[' &&
+             content.charAt(i) != '<' && content.charAt(i) != ']') i += 1
+      content.substring(start, i)
+    }
+
+    /** Array at textual nesting `depth` (top = 1): collects only the string
+      * and number elements `TJ` can consume; nested arrays are parsed (for
+      * the matching bracket) and discarded; names/ops/dict markers skipped.
+      * Past the nesting cap the bracket is dropped, flattening deeper
+      * elements into this array — the old tokenizer's exact behavior. */
+    def parseArray(depth: Int): mutable.ArrayBuffer[AnyRef] = {
+      val elems = new mutable.ArrayBuffer[AnyRef](8)
+      var done = false
+      while (!done) {
         while (i < n && content.charAt(i).isWhitespace) i += 1
-        if (i >= n) return None
-        val c = content.charAt(i)
-        if (c == '(') { i += 1; return Some(literalString()) }
-        else if (c == '<') {
-          if (i + 1 < n && content.charAt(i + 1) == '<') { i += 2; return Some(TOp("<<")) }
-          else { i += 1; return Some(hexStringTok()) }
-        } else if (c == '>') {
-          if (i + 1 < n && content.charAt(i + 1) == '>') { i += 2; return Some(TOp(">>")) }
-          else i += 1 // stray '>': skip, keep scanning
-        } else if (c == '/') {
-          val start = i + 1
-          i += 1
-          while (i < n && !content.charAt(i).isWhitespace && content.charAt(i) != '/' &&
-                 content.charAt(i) != '(' && content.charAt(i) != '[' &&
-                 content.charAt(i) != '<' && content.charAt(i) != ']') i += 1
-          return Some(TName(content.substring(start, i)))
-        } else if (c == '-' || c == '+' || c == '.' || c.isDigit) {
-          val start = i
-          i += 1
-          while (i < n && (content.charAt(i).isDigit || content.charAt(i) == '.')) i += 1
-          try return Some(TNum(content.substring(start, i).toDouble))
-          catch { case _: NumberFormatException => } // not a number: skip, keep scanning
-        } else if (c == '[') {
-          i += 1
-          if (depth < MaxArrayNesting) {
-            val elems = Vector.newBuilder[Tok]
-            var done = false
-            while (!done) {
-              // peek for closing bracket
-              while (i < n && content.charAt(i).isWhitespace) i += 1
-              if (i >= n) done = true
-              else if (content.charAt(i) == ']') { i += 1; done = true }
-              else one(depth + 1) match {
-                case Some(t) => elems += t
-                case None => done = true
-              }
-            }
-            return Some(TArr(elems.result()))
-          } // past the nesting cap: drop the bracket, keep scanning
-        } else if (c == ']') i += 1 // stray ']': skip
+        if (i >= n) done = true
         else {
-          val start = i
-          while (i < n && !content.charAt(i).isWhitespace &&
-                 content.charAt(i) != '(' && content.charAt(i) != '/' &&
-                 content.charAt(i) != '[' && content.charAt(i) != '<' &&
-                 content.charAt(i) != ']') i += 1
-          if (i > start) return Some(TOp(content.substring(start, i)))
-          else i += 1
+          val c = content.charAt(i)
+          if (c == ']') { i += 1; done = true }
+          else if (c == '(') { i += 1; elems += literalString() }
+          else if (c == '<') {
+            if (i + 1 < n && content.charAt(i + 1) == '<') i += 2 // dict marker: not a TJ element
+            else { i += 1; elems += hexString() }
+          } else if (c == '>') {
+            if (i + 1 < n && content.charAt(i + 1) == '>') i += 2
+            else i += 1
+          } else if (c == '/') { skipName(); () }
+          else if (c == '-' || c == '+' || c == '.' || c.isDigit) {
+            val v = number()
+            if (!v.isNaN) elems += java.lang.Double.valueOf(v)
+          } else if (c == '[') {
+            i += 1
+            if (depth < MaxArrayNesting) { parseArray(depth + 1); () }
+            // past the cap: bracket dropped, elements flatten into this array
+          } else {
+            val start = i
+            while (i < n && !content.charAt(i).isWhitespace &&
+                   content.charAt(i) != '(' && content.charAt(i) != '/' &&
+                   content.charAt(i) != '[' && content.charAt(i) != '<' &&
+                   content.charAt(i) != ']') i += 1
+            if (i == start) i += 1 // operator tokens inside arrays: skipped
+          }
         }
       }
-      None // unreachable
+      elems
     }
 
-    val toks = Vector.newBuilder[Tok]
-    var t = one(0)
-    while (t.isDefined) { toks += t.get; t = one(0) }
-    toks.result()
+    // ---- main scan ----
+    while (i < n) {
+      val c = content.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '(') { i += 1; push(KStr, 0.0, literalString(), null) }
+      else if (c == '<') {
+        if (i + 1 < n && content.charAt(i + 1) == '<') { i += 2; handleOp("<<") }
+        else { i += 1; push(KStr, 0.0, hexString(), null) }
+      } else if (c == '>') {
+        if (i + 1 < n && content.charAt(i + 1) == '>') { i += 2; handleOp(">>") }
+        else i += 1 // stray '>': skip
+      } else if (c == '/') push(KName, 0.0, skipName(), null)
+      else if (c == '-' || c == '+' || c == '.' || c.isDigit) {
+        val v = number()
+        if (!v.isNaN) push(KNum, v, null, null) // NFE span: skip, keep scanning
+      } else if (c == '[') {
+        i += 1
+        push(KArr, 0.0, null, parseArray(1))
+      } else if (c == ']') i += 1 // stray ']': skip
+      else {
+        val start = i
+        while (i < n && !content.charAt(i).isWhitespace &&
+               content.charAt(i) != '(' && content.charAt(i) != '/' &&
+               content.charAt(i) != '[' && content.charAt(i) != '<' &&
+               content.charAt(i) != ']') i += 1
+        if (i > start) handleOp(content.substring(start, i))
+        else i += 1
+      }
+    }
   }
 }
