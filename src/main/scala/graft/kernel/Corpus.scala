@@ -22,7 +22,7 @@ object Corpus {
     * the constant is folded into [[graft.operators.ExtractOps]]'s corpus-cache
     * fingerprint, so bumping it invalidates every materialized corpus cache
     * even if the hashed sample pages happen to be byte-identical. */
-  val GeneratorVersion = 5
+  val GeneratorVersion = 6
 
   final case class PageRow(url: String, warc_ts: java.sql.Timestamp,
                            html: Array[Byte], text: String, lang: String)
@@ -172,7 +172,11 @@ object Corpus {
       // ~17% /ObjStm containers (type-2-located when an xref stream is
       // present), ~17% WinAnsiEncoding (cp1252-only chars), ~8% /ToUnicode
       // CMap fonts (chars beyond cp1252 entirely), ~8% ASCIIHex-armored
-      // streams — all deterministic draws of the per-doc rng
+      // streams, ~7% LZWDecode (the pre-Flate compressor old tools still
+      // emit), half of xref STREAMS PNG-Up predictor-encoded (the modern-
+      // writer default), ~5% /Rotate 90/180/270 pages, ~8% Identity-H
+      // composite fonts (2-byte CID codes + /ToUnicode, the CJK/subset-font
+      // reality) — all deterministic draws of the per-doc rng
       val nPages = if (rng.nextInt(8) == 0) 2 + rng.nextInt(3) else 1
       val basePages = (1 to nPages).map(_ =>
         PdfLite.PageSpec(1700, 1200, pdfTableRuns(rng, vendor)))
@@ -181,17 +185,23 @@ object Corpus {
       val hexEvery = if (rng.nextInt(4) == 0) 4 else 0
       val xrefDraw = rng.nextInt(10) // 0-1 classic table, 2-3 xref stream
       val objStm = rng.nextInt(6) == 0
-      val encDraw = rng.nextInt(12)  // 0-1 WinAnsi, 2 ToUnicode
+      val encDraw = rng.nextInt(12)  // 0-1 WinAnsi, 2 ToUnicode, 3 Identity-H CID
       val hexArmor = rng.nextInt(12) == 0
       val winAnsi = encDraw <= 1
       val toUnicode = encDraw == 2
+      val cid = encDraw == 3
+      val lzw = !compress && rng.nextInt(10) == 0
+      val predictor = rng.nextInt(2) == 0 // applies only with an xref STREAM
+      val rotate =
+        if (rng.nextInt(20) == 0) 90 * (1 + rng.nextInt(3)) else 0
       val pageSpecs =
-        if (!winAnsi && !toUnicode) basePages
+        if (!winAnsi && !toUnicode && !cid) basePages
         else basePages.map { ps =>
           // a memo line the default Latin-1 writer cannot carry — proves the
           // font-decoding path end-to-end (serialized bytes ≠ the text)
           val memoText =
             if (winAnsi) s"mémo — “net €${1 + rng.nextInt(999)}”"
+            else if (cid) s"合計 ¥${1 + rng.nextInt(9999)} 税込 — 経理部"
             else s"σύνολο αβγ — Ω${1 + rng.nextInt(999)}"
           ps.copy(runs = ps.runs :+ PdfLite.Run(40, 1185, 9, memoText))
         }
@@ -199,7 +209,8 @@ object Corpus {
         compress = compress, tjEvery = tjEvery, hexEvery = hexEvery,
         xref = xrefDraw <= 1, objStm = objStm, winAnsi = winAnsi,
         toUnicode = toUnicode, xrefStream = xrefDraw == 2 || xrefDraw == 3,
-        hexArmor = hexArmor)
+        hexArmor = hexArmor, lzw = lzw, predictor = predictor,
+        rotate = rotate, cid = cid)
       val text =
         if (scanned) "" // forces the scanned route (detect: no meaningful text)
         else pageSpecs.flatMap(_.runs).map(_.text).mkString(" ")

@@ -102,7 +102,7 @@ object Html {
           i = if (end < 0) n else end + 1
         } else if (i + 1 < n && html.charAt(i + 1) == '/') {
           val end = html.indexOf('>', i)
-          val name = html.substring(i + 2, if (end < 0) n else end).trim.toLowerCase
+          val name = lowerAscii(html.substring(i + 2, if (end < 0) n else end).trim)
           if (stack.exists(e => e.name == name)) {
             while (stack.top.name != name && stack.size > 1) stack.pop()
             if (stack.size > 1) stack.pop()
@@ -155,6 +155,20 @@ object Html {
     (root, depthCapped)
   }
 
+  /** `s.toLowerCase` with an allocation-free fast path: tag and attribute
+    * names in real markup are overwhelmingly already-lowercase ASCII, and
+    * `String.toLowerCase` both allocates and consults the default locale.
+    * Identical output: any uppercase-ASCII or non-ASCII char falls back. */
+  private def lowerAscii(s: String): String = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if ((c >= 'A' && c <= 'Z') || c >= 0x80) return s.toLowerCase
+      i += 1
+    }
+    s
+  }
+
   private def indexOfIgnoreCase(hay: String, needle: String, from: Int): Int = {
     var i = from
     val max = hay.length - needle.length
@@ -171,15 +185,21 @@ object Html {
     while (i < n && body.charAt(i).isWhitespace) i += 1
     val nameStart = i
     while (i < n && !body.charAt(i).isWhitespace) i += 1
-    val name = body.substring(nameStart, i).toLowerCase
+    val name = lowerAscii(body.substring(nameStart, i))
     if (name.isEmpty || !name.head.isLetter) return ("", Map.empty)
-    val attrs = mutable.LinkedHashMap.empty[String, String]
+    // attr map built lazily: most tags in real markup carry no attributes,
+    // and the per-tag LinkedHashMap + toMap showed up in profiles
+    var attrs: mutable.LinkedHashMap[String, String] = null
+    def put(key: String, v: String): Unit = {
+      if (attrs == null) attrs = mutable.LinkedHashMap.empty
+      attrs(key) = v
+    }
     while (i < n) {
       while (i < n && body.charAt(i).isWhitespace) i += 1
       if (i < n) {
         val kStart = i
         while (i < n && body.charAt(i) != '=' && !body.charAt(i).isWhitespace) i += 1
-        val key = body.substring(kStart, i).toLowerCase
+        val key = lowerAscii(body.substring(kStart, i))
         while (i < n && body.charAt(i).isWhitespace) i += 1
         if (i < n && body.charAt(i) == '=') {
           i += 1
@@ -188,17 +208,17 @@ object Html {
             val q = body.charAt(i)
             val vEnd = body.indexOf(q, i + 1)
             val v = body.substring(i + 1, if (vEnd < 0) n else vEnd)
-            if (key.nonEmpty) attrs(key) = decodeEntities(v)
+            if (key.nonEmpty) put(key, decodeEntities(v))
             i = if (vEnd < 0) n else vEnd + 1
           } else {
             val vStart = i
             while (i < n && !body.charAt(i).isWhitespace) i += 1
-            if (key.nonEmpty) attrs(key) = decodeEntities(body.substring(vStart, i))
+            if (key.nonEmpty) put(key, decodeEntities(body.substring(vStart, i)))
           }
-        } else if (key.nonEmpty) attrs(key) = ""
+        } else if (key.nonEmpty) put(key, "")
       }
     }
-    (name, attrs.toMap)
+    (name, if (attrs == null) Map.empty else attrs.toMap)
   }
 
   // ---------- scoring ----------

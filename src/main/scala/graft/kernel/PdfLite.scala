@@ -109,24 +109,42 @@ object PdfLite {
     * corpus itself exercises those parser paths. `enc` serializes run text
     * into the doc's declared byte encoding. */
   private def pageContent(p: PageSpec, tjEvery: Int, hexEvery: Int,
-                          enc: String => String): String = {
+                          enc: String => String, rotate: Int = 0): String = {
     val content = new java.lang.StringBuilder
     content.append("BT\n")
     var curSize = -1
     var lineY = Int.MinValue
     var curX = 0; var curY = 0
+    // inverse of the parser's display transform: run anchors are given in
+    // DISPLAY top-left coords of the rotated page (pageW × pageH); text is
+    // positioned in unrotated user space (see interpret's forward map)
+    val uw = if (rotate == 90 || rotate == 270) p.pageH else p.pageW
+    val uh = if (rotate == 90 || rotate == 270) p.pageW else p.pageH
+    def userX(r: Run): Int = rotate match {
+      case 90 => r.y + r.size
+      case 180 => uw - r.x
+      case 270 => uw - r.y - r.size
+      case _ => r.x
+    }
+    def userY(r: Run): Int = rotate match {
+      case 90 => r.x
+      case 180 => r.y + r.size
+      case 270 => uh - r.x
+      case _ => uh - r.y - r.size
+    }
     for ((r, idx) <- p.runs.zipWithIndex) {
       if (r.size != curSize) {
         content.append(s"/F1 ${r.size} Tf\n")
         curSize = r.size
       }
-      val yPdf = p.pageH - r.y - r.size
+      val xPdf = userX(r)
+      val yPdf = userY(r)
       if (r.y != lineY) {
-        content.append(s"1 0 0 1 ${r.x} $yPdf Tm\n")
-        lineY = r.y; curX = r.x; curY = yPdf
+        content.append(s"1 0 0 1 $xPdf $yPdf Tm\n")
+        lineY = r.y; curX = xPdf; curY = yPdf
       } else {
-        content.append(s"${r.x - curX} ${yPdf - curY} Td\n")
-        curX = r.x; curY = yPdf
+        content.append(s"${xPdf - curX} ${yPdf - curY} Td\n")
+        curX = xPdf; curY = yPdf
       }
       val encoded = enc(r.text)
       val asTj = tjEvery > 0 && idx % tjEvery == tjEvery - 1 && encoded.contains(' ')
@@ -145,6 +163,46 @@ object PdfLite {
     }
     content.append("ET\n")
     content.toString
+  }
+
+  /** TIFF-variant LZW encoder (EarlyChange=1) matching [[lzwDecode]]:
+    * pair-keyed dictionary, leading clear-code, frozen table at 4096. The
+    * emit width is taken from `nextCode` BEFORE the post-emit table add and
+    * the EOD width from `nextCode + 1` — both derived from the decoder's
+    * one-entry lag so round-trips are bit-exact across the 511/1023/2047
+    * boundaries. */
+  private def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    var bitBuf = 0L; var bits = 0
+    def put(code: Int, width: Int): Unit = {
+      bitBuf = (bitBuf << width) | code; bits += width
+      while (bits >= 8) { out.write(((bitBuf >>> (bits - 8)) & 0xff).toInt); bits -= 8 }
+    }
+    var nextCode = 258
+    def width(n: Int): Int =
+      if (n <= 511) 9 else if (n <= 1023) 10 else if (n <= 2047) 11 else 12
+    put(256, 9) // leading clear (what real writers emit)
+    if (data.nonEmpty) {
+      val dict = new java.util.HashMap[Integer, Integer](4096)
+      var w = data(0) & 0xff
+      var k = 1
+      while (k < data.length) {
+        val c = data(k) & 0xff
+        val key = Integer.valueOf((w << 8) | c)
+        val hit = dict.get(key)
+        if (hit != null) w = hit.intValue
+        else {
+          put(w, width(nextCode))
+          if (nextCode < 4096) { dict.put(key, Integer.valueOf(nextCode)); nextCode += 1 }
+          w = c
+        }
+        k += 1
+      }
+      put(w, width(nextCode))
+    }
+    put(257, width(nextCode + 1)) // EOD read happens after the decoder's last add
+    if (bits > 0) out.write(((bitBuf << (8 - bits)) & 0xff).toInt)
+    out.toByteArray
   }
 
   private def deflate(data: Array[Byte]): Array[Byte] = {
@@ -187,7 +245,14 @@ object PdfLite {
                hexEvery: Int = 0, xref: Boolean = false,
                objStm: Boolean = false, winAnsi: Boolean = false,
                toUnicode: Boolean = false, xrefStream: Boolean = false,
-               hexArmor: Boolean = false): Array[Byte] = {
+               hexArmor: Boolean = false, lzw: Boolean = false,
+               predictor: Boolean = false, rotate: Int = 0,
+               cid: Boolean = false): Array[Byte] = {
+    // CID text is emitted as hex strings only (a 2-byte code containing
+    // 0x20 must not be word-split by the TJ writer); rotated pages skip TJ
+    // so kerning advances stay a pure line-axis concern
+    val tjEv = if (cid || rotate != 0) 0 else tjEvery
+    val hexEv = if (cid) 1 else hexEvery
     val out = new java.io.ByteArrayOutputStream(4096)
     def put(s: String): Unit = out.write(s.getBytes(Latin1))
     val offsets = mutable.Map.empty[Int, Int] // top-level obj num → byte offset
@@ -195,10 +260,10 @@ object PdfLite {
 
     val kids = pages.indices.map(i => s"${3 + 2 * i} 0 R").mkString(" ")
     val imageObjNum = 3 + 2 * pages.length
-    val useFont = winAnsi || toUnicode
+    val useFont = winAnsi || toUnicode || cid
     val fontObjNum = imageObjNum + (if (scanned) 1 else 0)
     val cmapObjNum = fontObjNum + 1
-    val objStmNum = fontObjNum + (if (useFont) 1 else 0) + (if (toUnicode) 1 else 0)
+    val objStmNum = fontObjNum + (if (useFont) 1 else 0) + (if (toUnicode || cid) 1 else 0)
     val xrefStmNum = objStmNum + (if (objStm) 1 else 0)
 
     // doc-local ToUnicode code assignment: the non-ASCII chars actually used
@@ -210,7 +275,12 @@ object PdfLite {
         .distinct.take(0x7e)
         .zipWithIndex.map { case (c, k) => c -> (0x80 + k).toChar }.toMap
     val enc: String => String =
-      if (toUnicode) t => t.map(c => if (c <= 0x7e) c else codeMap.getOrElse(c, '?'))
+      if (cid) t => { // Identity-H-style: every char is its own 2-byte code
+        val sb = new java.lang.StringBuilder(t.length * 2)
+        t.foreach(c => sb.append(((c >> 8) & 0xff).toChar).append((c & 0xff).toChar))
+        sb.toString
+      }
+      else if (toUnicode) t => t.map(c => if (c <= 0x7e) c else codeMap.getOrElse(c, '?'))
       else if (winAnsi) winAnsiEnc
       else latin1Enc
 
@@ -218,9 +288,14 @@ object PdfLite {
       if (useFont) s" /Resources << /Font << /F1 $fontObjNum 0 R >> >>" else ""
     def catalogDict = "<< /Type /Catalog /Pages 2 0 R >>"
     def pagesDict = s"<< /Type /Pages /Kids [$kids] /Count ${pages.length} >>"
-    def pageDict(i: Int, p: PageSpec) =
-      s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 ${p.pageW} ${p.pageH}] " +
+    // user-space MediaBox: rotated pages store swapped dims + /Rotate
+    val rotPart = if (rotate != 0) s" /Rotate $rotate" else ""
+    def pageDict(i: Int, p: PageSpec) = {
+      val uw = if (rotate == 90 || rotate == 270) p.pageH else p.pageW
+      val uh = if (rotate == 90 || rotate == 270) p.pageW else p.pageH
+      s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 $uw $uh]$rotPart " +
         s"/Contents ${4 + 2 * i} 0 R$resources >>"
+    }
 
     put("%PDF-1.4\n")
     if (objStm) {
@@ -248,8 +323,9 @@ object PdfLite {
         beginObj(pageObj)
         put(s"$pageObj 0 obj ${pageDict(i, p)} endobj\n")
       }
-      val raw = pageContent(p, tjEvery, hexEvery, enc).getBytes(Latin1)
-      val deflated = if (compress) deflate(raw) else raw
+      val raw = pageContent(p, tjEv, hexEv, enc, rotate).getBytes(Latin1)
+      val deflated =
+        if (compress) deflate(raw) else if (lzw) lzwEncode(raw) else raw
       val data =
         if (!hexArmor) deflated
         else {
@@ -258,9 +334,11 @@ object PdfLite {
           sb.append('>')
           sb.toString.getBytes(Latin1)
         }
+      val innerFilter =
+        if (compress) "/FlateDecode" else if (lzw) "/LZWDecode" else ""
       val filter =
-        if (hexArmor && compress) " /Filter [/ASCIIHexDecode /FlateDecode]"
-        else if (compress) " /Filter /FlateDecode"
+        if (hexArmor && innerFilter.nonEmpty) s" /Filter [/ASCIIHexDecode $innerFilter]"
+        else if (innerFilter.nonEmpty) s" /Filter $innerFilter"
         else if (hexArmor) " /Filter /ASCIIHexDecode"
         else ""
       beginObj(contObj)
@@ -274,21 +352,46 @@ object PdfLite {
         "/Width 800 /Height 1100 >> endobj\n")
     }
     if (useFont) {
-      val encPart = if (winAnsi) " /Encoding /WinAnsiEncoding" else ""
-      val cmapPart = if (toUnicode) s" /ToUnicode $cmapObjNum 0 R" else ""
       beginObj(fontObjNum)
-      put(s"$fontObjNum 0 obj << /Type /Font /Subtype /Type1 " +
-        s"/BaseFont /Helvetica$encPart$cmapPart >> endobj\n")
+      if (cid)
+        // composite-font layout: 2-byte Identity-H codes, text only
+        // recoverable through the /ToUnicode CMap
+        put(s"$fontObjNum 0 obj << /Type /Font /Subtype /Type0 " +
+          s"/BaseFont /Synth-CID /Encoding /Identity-H " +
+          s"/ToUnicode $cmapObjNum 0 R >> endobj\n")
+      else {
+        val encPart = if (winAnsi) " /Encoding /WinAnsiEncoding" else ""
+        val cmapPart = if (toUnicode) s" /ToUnicode $cmapObjNum 0 R" else ""
+        put(s"$fontObjNum 0 obj << /Type /Font /Subtype /Type1 " +
+          s"/BaseFont /Helvetica$encPart$cmapPart >> endobj\n")
+      }
     }
-    if (toUnicode) {
-      val bfchars = codeMap.toSeq.sortBy(_._2)
-        .map { case (u, code) => f"<${code.toInt}%02X> <${u.toInt}%04X>" }
-        .mkString("\n")
+    if (toUnicode || cid) {
       val cmapTxt =
-        "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n" +
-        "1 beginbfrange\n<20> <7e> <0020>\nendbfrange\n" +
-        s"${codeMap.size} beginbfchar\n$bfchars\nendbfchar\n" +
-        "endcmap\nend\nend\n"
+        if (cid) {
+          // 2-byte source codes (identity): ASCII via one bfrange, every
+          // other char in use via an identity bfchar entry
+          val extraChars = pages.flatMap(_.runs).flatMap(_.text)
+            .filter(_ > 0x7e).distinct.sorted
+          val extra = extraChars
+            .map(c => f"<${c.toInt}%04X> <${c.toInt}%04X>")
+            .mkString("\n")
+          "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n" +
+          "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n" +
+          "1 beginbfrange\n<0020> <007E> <0020>\nendbfrange\n" +
+          (if (extraChars.nonEmpty)
+             s"${extraChars.size} beginbfchar\n$extra\nendbfchar\n"
+           else "") +
+          "endcmap\nend\nend\n"
+        } else {
+          val bfchars = codeMap.toSeq.sortBy(_._2)
+            .map { case (u, code) => f"<${code.toInt}%02X> <${u.toInt}%04X>" }
+            .mkString("\n")
+          "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n" +
+          "1 beginbfrange\n<20> <7e> <0020>\nendbfrange\n" +
+          s"${codeMap.size} beginbfchar\n$bfchars\nendbfchar\n" +
+          "endcmap\nend\nend\n"
+        }
       beginObj(cmapObjNum)
       put(s"$cmapObjNum 0 obj << /Length ${cmapTxt.length} >> stream\n")
       put(cmapTxt)
@@ -321,9 +424,33 @@ object PdfLite {
           }
         }
       }
-      val data = deflate(rows.toByteArray)
+      // modern writers near-universally predictor-encode xref streams:
+      // PNG Up (filter type 2) over the 7-byte rows + /DecodeParms
+      val rawRows = rows.toByteArray
+      val encoded =
+        if (!predictor) rawRows
+        else {
+          val rl = 7
+          val out2 = new Array[Byte](rawRows.length / rl * (rl + 1))
+          var r = 0
+          while (r * rl < rawRows.length) {
+            out2(r * (rl + 1)) = 2 // Up
+            var j = 0
+            while (j < rl) {
+              val cur = rawRows(r * rl + j) & 0xff
+              val up = if (r > 0) rawRows((r - 1) * rl + j) & 0xff else 0
+              out2(r * (rl + 1) + 1 + j) = ((cur - up) & 0xff).toByte
+              j += 1
+            }
+            r += 1
+          }
+          out2
+        }
+      val dpPart =
+        if (predictor) " /DecodeParms << /Predictor 12 /Columns 7 >>" else ""
+      val data = deflate(encoded)
       put(s"$xrefStmNum 0 obj << /Type /XRef /Size $size /W [1 4 2] " +
-        s"/Root 1 0 R /Filter /FlateDecode /Length ${data.length} >> stream\n")
+        s"/Root 1 0 R /Filter /FlateDecode$dpPart /Length ${data.length} >> stream\n")
       out.write(data)
       put(s"\nendstream endobj\nstartxref\n$selfOff\n")
     } else if (xref) {
@@ -511,20 +638,146 @@ object PdfLite {
     new String(out.toByteArray, Latin1)
   }
 
+  /** Undo a `/DecodeParms /Predictor` pass after Flate/LZW decompression
+    * (PDF 32000-1 §7.4.4.4). Predictor ≥ 10 is the PNG family: each row is a
+    * filter-type byte + `ceil(columns·colors·bpc/8)` data bytes, filters
+    * None/Sub/Up/Average/Paeth (RFC 2083 §6) applied per byte-per-pixel unit.
+    * Predictor 2 is the TIFF horizontal differencing (bpc=8 form). Real
+    * writers put Predictor 12 (PNG Up) on xref streams almost universally.
+    * Tolerant: a truncated final row decodes as far as the data goes. */
+  private def unpredict(data: String, predictor: Int, columns: Int,
+                        colors: Int, bpc: Int): String = {
+    if (predictor < 2 || columns <= 0 || colors <= 0 || bpc <= 0) return data
+    val bpp = math.max(1, colors * bpc / 8)
+    val rowLen = (columns * colors * bpc + 7) / 8
+    if (rowLen <= 0 || rowLen > InflateCap) return data
+    if (predictor == 2) {
+      if (bpc != 8) return data // sub-byte TIFF differencing: out of scope
+      val out = new Array[Byte](data.length)
+      var k = 0
+      while (k < data.length) {
+        val inRow = k % rowLen
+        val left = if (inRow >= bpp) out(k - bpp).toInt & 0xff else 0
+        out(k) = (((data.charAt(k) & 0xff) + left) & 0xff).toByte
+        k += 1
+      }
+      return new String(out, Latin1)
+    }
+    // PNG family: rows of 1 + rowLen
+    val nRows = data.length / (1 + rowLen)
+    val out = new Array[Byte](nRows * rowLen)
+    var row = 0
+    while (row < nRows) {
+      val ft = data.charAt(row * (1 + rowLen)) & 0xff
+      val src = row * (1 + rowLen) + 1
+      val dst = row * rowLen
+      var j = 0
+      while (j < rowLen) {
+        val raw = data.charAt(src + j) & 0xff
+        val left = if (j >= bpp) out(dst + j - bpp).toInt & 0xff else 0
+        val up = if (row > 0) out(dst - rowLen + j).toInt & 0xff else 0
+        val upLeft = if (row > 0 && j >= bpp) out(dst - rowLen + j - bpp).toInt & 0xff else 0
+        val v = ft match {
+          case 0 => raw
+          case 1 => raw + left
+          case 2 => raw + up
+          case 3 => raw + (left + up) / 2
+          case 4 => // Paeth
+            val p = left + up - upLeft
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - upLeft)
+            raw + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft)
+          case _ => raw // unknown filter type: pass through
+        }
+        out(dst + j) = (v & 0xff).toByte
+        j += 1
+      }
+      row += 1
+    }
+    new String(out, 0, nRows * rowLen, Latin1)
+  }
+
+  /** `/DecodeParms` (or `/DP`) predictor application for a stream dict. */
+  private def applyDecodeParms(dict: String, data: String): String = {
+    val i = { val a = dict.indexOf("/DecodeParms"); if (a >= 0) a else dict.indexOf("/DP") }
+    if (i < 0) return data
+    dictSpan(dict, i) match {
+      case Some(dp) =>
+        val pred = intAfter(dp, "/Predictor").getOrElse(1)
+        if (pred < 2) data
+        else unpredict(data, pred,
+          intAfter(dp, "/Columns").getOrElse(1),
+          intAfter(dp, "/Colors").getOrElse(1),
+          intAfter(dp, "/BitsPerComponent").getOrElse(8))
+      case None => data
+    }
+  }
+
+  /** `/LZWDecode` (PDF 32000-1 §7.4.4.2, the TIFF LZW variant): 9→12-bit
+    * codes packed MSB-first, 256 = clear-table, 257 = EOD, EarlyChange = 1
+    * (the default — code width grows one code before the table boundary;
+    * table freezes at 4096, no mid-stream clears required). Tolerant: corrupt
+    * codes or a missing EOD yield the bytes decoded so far. */
+  private def lzwDecode(s: String, from: Int, until: Int): String = {
+    val out = new java.lang.StringBuilder(math.min(InflateCap, math.max(16, (until - from) * 3)))
+    val table = new Array[String](4096)
+    var t = 0
+    while (t < 256) { table(t) = t.toChar.toString; t += 1 }
+    var nextCode = 258
+    var width = 9
+    var prev: String = null
+    var bitBuf = 0L; var bits = 0
+    var k = from
+    var done = false
+    while (k < until && !done && out.length < InflateCap) {
+      bitBuf = (bitBuf << 8) | (s.charAt(k) & 0xff); bits += 8; k += 1
+      while (bits >= width && !done) {
+        val code = ((bitBuf >>> (bits - width)) & ((1L << width) - 1)).toInt
+        bits -= width
+        if (code == 256) { nextCode = 258; width = 9; prev = null }
+        else if (code == 257) done = true
+        else {
+          val entry =
+            if (code < nextCode && code < 4096 && table(code) != null) table(code)
+            else if (prev != null && code == nextCode) prev + prev.charAt(0) // KwKwK
+            else { done = true; null } // corrupt stream: keep what decoded
+          if (entry != null) {
+            out.append(entry)
+            if (prev != null && nextCode < 4096) {
+              table(nextCode) = prev + entry.charAt(0)
+              nextCode += 1
+              // EarlyChange=1: the width for the NEXT read grows one code
+              // before the table boundary (pdf.js/TIFF convention)
+              if (nextCode + 1 >= (1 << width) && width < 12) width += 1
+            }
+            prev = entry
+          }
+        }
+      }
+    }
+    out.toString
+  }
+
   /** Decoded text of an object's stream ("" when none). Filter chains are
     * applied in decode order — the only real-world combination in scope is
     * `[/ASCIIHexDecode /FlateDecode]` (hex armor over compressed data), so
-    * AHx, when present, always unwraps before Flate. */
+    * AHx, when present, always unwraps before Flate. A `/DecodeParms`
+    * predictor (PNG/TIFF) is undone after decompression. */
   private def streamText(s: String, o: PdfObj): String = {
     if (!o.hasStream) return ""
     val hasAHx = o.dict.contains("/ASCIIHexDecode")
     val hasFlate = o.dict.contains("/FlateDecode")
-    if (hasAHx) {
-      val hexed = asciiHexDecode(s.substring(o.streamStart, o.streamEnd))
-      if (hasFlate) inflate(hexed, 0, hexed.length) else hexed
-    }
-    else if (hasFlate) inflate(s, o.streamStart, o.streamEnd)
-    else s.substring(o.streamStart, o.streamEnd)
+    val hasLzw = o.dict.contains("/LZWDecode")
+    val decompressed =
+      if (hasAHx) {
+        val hexed = asciiHexDecode(s.substring(o.streamStart, o.streamEnd))
+        if (hasFlate) inflate(hexed, 0, hexed.length)
+        else if (hasLzw) lzwDecode(hexed, 0, hexed.length)
+        else hexed
+      }
+      else if (hasFlate) inflate(s, o.streamStart, o.streamEnd)
+      else if (hasLzw) lzwDecode(s, o.streamStart, o.streamEnd)
+      else return s.substring(o.streamStart, o.streamEnd)
+    applyDecodeParms(o.dict, decompressed)
   }
 
   /** `/Name 123` integer value. */
@@ -735,7 +988,8 @@ object PdfLite {
   /** What the interpreter needs to know about one font resource: declared
     * simple encoding and the `/ToUnicode` CMap (byte code → Unicode string),
     * which — as in PyMuPDF — takes precedence for text extraction. */
-  private final case class FontInfo(winAnsi: Boolean, cmap: Map[Int, String])
+  private final case class FontInfo(winAnsi: Boolean, cmap: Map[Int, String],
+                                    twoByte: Boolean = false)
   private val DefaultFont = FontInfo(winAnsi = false, cmap = Map.empty)
 
   private val CMapCharPat = java.util.regex.Pattern
@@ -754,8 +1008,9 @@ object PdfLite {
     * destinations; ranges support the scalar-destination form with the
     * standard last-code-unit increment. Tolerant — anything unparseable is
     * skipped. */
-  private def parseCMap(txt: String): Map[Int, String] = {
+  private def parseCMap(txt: String): (Map[Int, String], Boolean) = {
     val out = mutable.Map.empty[Int, String]
+    var twoByte = false
     def dst(hex: String): String = {
       val sb = new java.lang.StringBuilder(hex.length / 4)
       var k = 0
@@ -776,6 +1031,7 @@ object PdfLite {
       for (sec <- sections("bfrange")) {
         val m = rangePat.matcher(sec)
         while (m.find()) {
+          if (m.group(1).length == 4) twoByte = true
           val lo = Integer.parseInt(m.group(1), 16)
           val hi = Integer.parseInt(m.group(2), 16)
           val d = dst(m.group(3))
@@ -790,11 +1046,13 @@ object PdfLite {
       }
       for (sec <- sections("bfchar")) {
         val m = charPat.matcher(sec)
-        while (m.find())
+        while (m.find()) {
+          if (m.group(1).length == 4) twoByte = true
           out(Integer.parseInt(m.group(1), 16)) = dst(m.group(2))
+        }
       }
     } catch { case _: Exception => /* keep what parsed */ }
-    out.toMap
+    (out.toMap, twoByte)
   }
 
   /** Per-font info for a page: resolve `/Resources` (inline dict or
@@ -819,11 +1077,11 @@ object PdfLite {
         val out = Map.newBuilder[String, FontInfo]
         while (m.find()) {
           val fontDict = byNum.get(m.group(2).toInt).map(_.dict).getOrElse("")
-          val cmap = refOf(fontDict, "/ToUnicode").flatMap(byNum.get)
-            .map(o => parseCMap(streamText(s, o))).getOrElse(Map.empty)
+          val (cmap, twoByte) = refOf(fontDict, "/ToUnicode").flatMap(byNum.get)
+            .map(o => parseCMap(streamText(s, o))).getOrElse((Map.empty[Int, String], false))
           val winAnsi = fontDict.contains("/WinAnsiEncoding")
           if (winAnsi || cmap.nonEmpty)
-            out += m.group(1) -> FontInfo(winAnsi, cmap)
+            out += m.group(1) -> FontInfo(winAnsi, cmap, twoByte)
         }
         out.result()
       }
@@ -935,12 +1193,20 @@ object PdfLite {
     if (pageObjs.nonEmpty) {
       for (((p, inh), idx) <- pageObjs.zipWithIndex) {
         val (w, h) = mediaBoxOf(p.dict).orElse(inh).getOrElse((612, 792))
-        if (idx == 0) { firstW = w; firstH = h }
+        // /Rotate: page-level, else inherited from the root Pages node
+        // (PDF inheritance); only multiples of 90 are meaningful
+        val rotRaw = intAfter(p.dict, "/Rotate")
+          .orElse(pagesNode.flatMap(pn => intAfter(pn.dict, "/Rotate")))
+          .getOrElse(0)
+        val rot = if (rotRaw % 90 == 0) ((rotRaw % 360) + 360) % 360 else 0
+        // reported page dims are the DISPLAY (rotated) view
+        val (dw, dh) = if (rot == 90 || rot == 270) (h, w) else (w, h)
+        if (idx == 0) { firstW = dw; firstH = dh }
         val fonts = fontInfos(s, p.dict, pagesNode.map(_.dict), byNum)
         val contents = refsOf(p.dict, "/Contents").flatMap(byNum.get)
         for (c <- contents) {
           val txt = contentOf(c)
-          if (run) interpret(txt, h, idx + 1, items, fonts)
+          if (run) interpret(txt, w, h, rot, idx + 1, items, fonts)
         }
       }
       Parsed(items.result(), firstW, firstH, hasImage, pageObjs.length)
@@ -952,7 +1218,7 @@ object PdfLite {
       for (o <- objs if o.hasStream) {
         any = true
         val txt = contentOf(o)
-        if (run) interpret(txt, h, 1, items)
+        if (run) interpret(txt, w, h, 0, 1, items)
       }
       if (!any) {
         // degenerate: raw "stream … endstream" spans with no object skeleton
@@ -963,7 +1229,7 @@ object PdfLite {
           if (cs < s.length && s.charAt(cs) == '\r') cs += 1
           if (cs < s.length && s.charAt(cs) == '\n') cs += 1
           val e = s.indexOf("endstream", cs)
-          if (run) interpret(s.substring(cs, if (e < 0) s.length else e), h, 1, items)
+          if (run) interpret(s.substring(cs, if (e < 0) s.length else e), w, h, 0, 1, items)
           from = if (e < 0) s.length else e + "endstream".length
           k = s.indexOf("stream", from)
         }
@@ -972,16 +1238,30 @@ object PdfLite {
     }
   }
 
-  /** 1-byte-code CMap application (our fonts' shown strings carry one code
-    * per char; 2-byte-source CMaps are parsed but apply per code unit). */
-  private def applyCMap(raw: String, cmap: Map[Int, String]): String = {
+  /** `/ToUnicode` CMap application. Code width follows the CMap's source
+    * codes: 1-byte (simple fonts) or 2-byte (Identity-H-style composite
+    * fonts — every shown string consumes two bytes per glyph). Unmapped
+    * codes pass through raw (tolerant), as does an odd trailing byte of a
+    * 2-byte string. */
+  private def applyCMap(raw: String, cmap: Map[Int, String], twoByte: Boolean): String = {
     val sb = new java.lang.StringBuilder(raw.length)
     var k = 0
-    while (k < raw.length) {
-      val c = raw.charAt(k)
-      val mapped = cmap.getOrElse(c.toInt, null)
-      if (mapped == null) sb.append(c) else sb.append(mapped)
-      k += 1
+    if (twoByte) {
+      while (k + 1 < raw.length) {
+        val code = ((raw.charAt(k) & 0xff) << 8) | (raw.charAt(k + 1) & 0xff)
+        val mapped = cmap.getOrElse(code, null)
+        if (mapped == null) { sb.append(raw.charAt(k)); sb.append(raw.charAt(k + 1)) }
+        else sb.append(mapped)
+        k += 2
+      }
+      if (k < raw.length) sb.append(raw.charAt(k))
+    } else {
+      while (k < raw.length) {
+        val c = raw.charAt(k)
+        val mapped = cmap.getOrElse(c.toInt, null)
+        if (mapped == null) sb.append(c) else sb.append(mapped)
+        k += 1
+      }
     }
     sb.toString
   }
@@ -1007,7 +1287,8 @@ object PdfLite {
     * retained — `TJ` ignores everything else anyway. Skip-paths (stray
     * brackets, `-`/`.` non-numbers) are iterative: recursion is only per
     * array-nesting level, which is capped. */
-  private def interpret(content: String, pageH: Int, pageNum: Int,
+  private def interpret(content: String, pageW: Int, pageH: Int, rot: Int,
+                        pageNum: Int,
                         out: mutable.Builder[TextItem, Vector[TextItem]],
                         fonts: Map[String, FontInfo] = Map.empty): Unit = {
     var i = 0
@@ -1044,15 +1325,29 @@ object PdfLite {
 
     def emit(raw: String): Unit = {
       val decoded =
-        if (font.cmap.nonEmpty) applyCMap(raw, font.cmap)
+        if (font.cmap.nonEmpty) applyCMap(raw, font.cmap, font.twoByte)
         else if (font.winAnsi) winAnsiText(raw)
         else raw
       val text = Py.strip(decoded)
       val width = decoded.length * CharWidthFactor * fontSize
       if (text.nonEmpty) {
-        // mirror smart_extract.py:85-93: int truncation, conf 100
-        val yTop = pageH - tmy - fontSize
-        out += TextItem(text, pageNum, tmx.toInt, yTop.toInt,
+        // user space -> display top-left coords honoring /Rotate (the
+        // PyMuPDF-style rotated page view; pageW/pageH are USER dims), then
+        // the glyph-box drop by fontSize in display space; int truncation +
+        // conf 100 mirror smart_extract.py:85-93
+        val xd = rot match {
+          case 90 => tmy
+          case 180 => pageW - tmx
+          case 270 => pageH - tmy
+          case _ => tmx
+        }
+        val yd = (rot match {
+          case 90 => tmx
+          case 180 => tmy
+          case 270 => pageW - tmx
+          case _ => pageH - tmy
+        }) - fontSize
+        out += TextItem(text, pageNum, xd.toInt, yd.toInt,
           width.toInt, fontSize.toInt, 100)
       }
       tmx += width

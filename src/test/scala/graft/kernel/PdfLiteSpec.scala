@@ -338,6 +338,86 @@ class PdfLiteSpec extends AnyFunSuite {
     assert(PdfLite.parse(bad2).nPages == 3)
   }
 
+  test("LZWDecode: TIFF-variant LZW streams parse identically, alone and hex-armored") {
+    val plain = PdfLite.parse(doc3(compress = false))
+    val pages = (1 to 3).map(p => PdfLite.PageSpec(800, 1000, runsOf(p, 100 + 10 * p)))
+    val viaLzw = PdfLite.writeDoc(pages, lzw = true)
+    val s = new String(viaLzw, StandardCharsets.ISO_8859_1)
+    assert(s.contains("/LZWDecode") && !s.contains("alpha p1"))
+    val lzw = PdfLite.parse(viaLzw)
+    assert(lzw.items == plain.items && lzw.nPages == 3)
+    val chained = PdfLite.parse(PdfLite.writeDoc(pages, lzw = true, hexArmor = true))
+    assert(chained.items == plain.items && chained.nPages == 3)
+  }
+
+  test("LZW code-width growth: a long low-repetition stream crosses 9→10→11 bits") {
+    // ~6000 chars over a 62-symbol alphabet via an LCG: the dictionary blows
+    // well past 511 and 1023 entries, so encode/decode only round-trip if
+    // both sides agree on the EarlyChange=1 width-switch points
+    val alpha = ('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')
+    var seed = 12345L
+    val text = new StringBuilder
+    for (_ <- 0 until 6000) {
+      seed = (seed * 6364136223846793005L + 1442695040888963407L)
+      text.append(alpha(((seed >>> 33) % alpha.length).toInt))
+    }
+    val run = PdfLite.Run(10, 50, 12, text.toString)
+    val parsed = PdfLite.parse(PdfLite.writeDoc(
+      Seq(PdfLite.PageSpec(8000, 400, Seq(run))), lzw = true))
+    assert(parsed.items.map(_.text) == Vector(text.toString))
+  }
+
+  test("xref stream /DecodeParms Predictor 12 (PNG Up) decodes identically") {
+    val plain = PdfLite.parse(doc3(compress = false))
+    val pages = (1 to 3).map(p => PdfLite.PageSpec(800, 1000, runsOf(p, 100 + 10 * p)))
+    val bytes = PdfLite.writeDoc(pages,
+      compress = true, objStm = true, xrefStream = true, predictor = true)
+    val s = new String(bytes, StandardCharsets.ISO_8859_1)
+    assert(s.contains("/Predictor 12") && s.contains("/Columns 7"))
+    val parsed = PdfLite.parse(bytes)
+    assert(parsed.items == plain.items && parsed.nPages == 3)
+    assert(parsed.pageW == 800 && parsed.pageH == 1000)
+  }
+
+  test("/Rotate: rotated pages report display dims and display-space coords") {
+    val plain = PdfLite.parse(doc3(compress = false))
+    val pages = (1 to 3).map(p => PdfLite.PageSpec(800, 1000, runsOf(p, 100 + 10 * p)))
+    for (rot <- Seq(90, 180, 270)) {
+      val parsed = PdfLite.parse(PdfLite.writeDoc(pages, rotate = rot))
+      // identical display-space geometry: the stored user-space anchors moved,
+      // but the rotated view matches the unrotated page (PyMuPDF semantics)
+      assert(parsed.items == plain.items, s"rot=$rot: ${parsed.items.take(3)}")
+      assert(parsed.pageW == 800 && parsed.pageH == 1000, rot)
+      assert(parsed.nPages == 3)
+    }
+    // the writer really stores swapped user-space MediaBox dims for 90/270
+    val s90 = new String(PdfLite.writeDoc(pages, rotate = 90), StandardCharsets.ISO_8859_1)
+    assert(s90.contains("/Rotate 90") && s90.contains("/MediaBox [0 0 1000 800]"))
+    // degenerate /Rotate values are ignored, not misapplied
+    val junk = new String(PdfLite.writeDoc(pages.take(1)), StandardCharsets.ISO_8859_1)
+      .replace("/Type /Page /Parent", "/Type /Page /Rotate 45 /Parent")
+    val p45 = PdfLite.parse(junk.getBytes(StandardCharsets.ISO_8859_1))
+    assert(p45.items.map(_.text) == plain.items.filter(_.page == 1).map(_.text))
+  }
+
+  test("Identity-H composite font: 2-byte CID codes round-trip via the CMap") {
+    val text = "漢字テスト und ASCII zusammen ↦ Ω"
+    val bytes = PdfLite.writeDoc(Seq(PdfLite.PageSpec(400, 400,
+      Seq(PdfLite.Run(10, 50, 12, text)))), cid = true)
+    val s = new String(bytes, StandardCharsets.ISO_8859_1)
+    assert(s.contains("/Subtype /Type0") && s.contains("/Identity-H"))
+    assert(s.contains("begincodespacerange"))
+    // shown strings are 2-byte hex codes — no raw text survives serialization
+    assert(!s.contains("zusammen"))
+    val parsed = PdfLite.parse(bytes)
+    assert(parsed.items.map(_.text) == Vector(text), parsed.items)
+    // and through the modern-writer structural combo
+    val modern = PdfLite.parse(PdfLite.writeDoc(Seq(PdfLite.PageSpec(400, 400,
+      Seq(PdfLite.Run(10, 50, 12, text)))),
+      cid = true, compress = true, objStm = true, xrefStream = true))
+    assert(modern.items.map(_.text) == Vector(text), modern.items)
+  }
+
   test("round-1 dialect (no explicit write path) still parses via the object tree") {
     val legacy = PdfLite.write(1700, 1200, Seq(
       PdfLite.Run(40, 300, 12, "legacy run")), scanned = true)
