@@ -22,7 +22,7 @@ object Corpus {
     * the constant is folded into [[graft.operators.ExtractOps]]'s corpus-cache
     * fingerprint, so bumping it invalidates every materialized corpus cache
     * even if the hashed sample pages happen to be byte-identical. */
-  val GeneratorVersion = 6
+  val GeneratorVersion = 7
 
   final case class PageRow(url: String, warc_ts: java.sql.Timestamp,
                            html: Array[Byte], text: String, lang: String)
@@ -176,7 +176,9 @@ object Corpus {
       // emit), half of xref STREAMS PNG-Up predictor-encoded (the modern-
       // writer default), ~5% /Rotate 90/180/270 pages, ~8% Identity-H
       // composite fonts (2-byte CID codes + /ToUnicode, the CJK/subset-font
-      // reality) — all deterministic draws of the per-doc rng
+      // reality), ~12% page bodies behind Form XObjects invoked via Do
+      // (letterhead/stamp layouts) — all deterministic draws of the per-doc
+      // rng
       val nPages = if (rng.nextInt(8) == 0) 2 + rng.nextInt(3) else 1
       val basePages = (1 to nPages).map(_ =>
         PdfLite.PageSpec(1700, 1200, pdfTableRuns(rng, vendor)))
@@ -194,6 +196,7 @@ object Corpus {
       val predictor = rng.nextInt(2) == 0 // applies only with an xref STREAM
       val rotate =
         if (rng.nextInt(20) == 0) 90 * (1 + rng.nextInt(3)) else 0
+      val formX = rng.nextInt(8) == 0
       val pageSpecs =
         if (!winAnsi && !toUnicode && !cid) basePages
         else basePages.map { ps =>
@@ -210,7 +213,7 @@ object Corpus {
         xref = xrefDraw <= 1, objStm = objStm, winAnsi = winAnsi,
         toUnicode = toUnicode, xrefStream = xrefDraw == 2 || xrefDraw == 3,
         hexArmor = hexArmor, lzw = lzw, predictor = predictor,
-        rotate = rotate, cid = cid)
+        rotate = rotate, cid = cid, form = formX)
       val text =
         if (scanned) "" // forces the scanned route (detect: no meaningful text)
         else pageSpecs.flatMap(_.runs).map(_.text).mkString(" ")

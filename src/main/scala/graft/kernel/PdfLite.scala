@@ -239,7 +239,21 @@ object PdfLite {
     *    (`/W [1 4 2]`, Flate) instead of a classic table, with type-2
     *    entries for in-ObjStm objects when combined with `objStm`;
     *  - `hexArmor` wraps content streams in `/ASCIIHexDecode` (optionally
-    *    chained over Flate). */
+    *    chained over Flate);
+    *  - `lzw` compresses content streams with `/LZWDecode` (the TIFF LZW
+    *    variant old toolchains emit) instead of Flate;
+    *  - `predictor` PNG-Up-encodes the xref STREAM rows and declares
+    *    `/DecodeParms << /Predictor 12 /Columns 7 >>` (the modern-writer
+    *    default);
+    *  - `rotate` (90/180/270) stores rotated user-space text anchors +
+    *    swapped `/MediaBox` dims + a `/Rotate` key, so the DISPLAY view
+    *    matches the unrotated spec;
+    *  - `cid` declares an Identity-H `/Subtype /Type0` composite font and
+    *    emits every glyph as a 2-byte code in hex strings, recoverable only
+    *    through the codespacerange'd `/ToUnicode` CMap (the CJK reality);
+    *  - `form` moves each page's body into a `/Subtype /Form` XObject
+    *    carrying its own font resources, invoked by a tiny `/Fm0 Do`
+    *    contents stream (letterhead/stamp layouts). */
   def writeDoc(pages: Seq[PageSpec], scanned: Boolean = false,
                compress: Boolean = false, tjEvery: Int = 0,
                hexEvery: Int = 0, xref: Boolean = false,
@@ -247,7 +261,7 @@ object PdfLite {
                toUnicode: Boolean = false, xrefStream: Boolean = false,
                hexArmor: Boolean = false, lzw: Boolean = false,
                predictor: Boolean = false, rotate: Int = 0,
-               cid: Boolean = false): Array[Byte] = {
+               cid: Boolean = false, form: Boolean = false): Array[Byte] = {
     // CID text is emitted as hex strings only (a 2-byte code containing
     // 0x20 must not be word-split by the TJ writer); rotated pages skip TJ
     // so kerning advances stay a pure line-axis concern
@@ -259,7 +273,10 @@ object PdfLite {
     def beginObj(num: Int): Unit = offsets(num) = out.size
 
     val kids = pages.indices.map(i => s"${3 + 2 * i} 0 R").mkString(" ")
-    val imageObjNum = 3 + 2 * pages.length
+    // form mode: each page's body lives in a Form XObject (object
+    // formBase+i) that the tiny /Contents stream invokes via `Do`
+    val formBase = 3 + 2 * pages.length
+    val imageObjNum = formBase + (if (form) pages.length else 0)
     val useFont = winAnsi || toUnicode || cid
     val fontObjNum = imageObjNum + (if (scanned) 1 else 0)
     val cmapObjNum = fontObjNum + 1
@@ -284,7 +301,7 @@ object PdfLite {
       else if (winAnsi) winAnsiEnc
       else latin1Enc
 
-    val resources =
+    val fontRes =
       if (useFont) s" /Resources << /Font << /F1 $fontObjNum 0 R >> >>" else ""
     def catalogDict = "<< /Type /Catalog /Pages 2 0 R >>"
     def pagesDict = s"<< /Type /Pages /Kids [$kids] /Count ${pages.length} >>"
@@ -293,8 +310,34 @@ object PdfLite {
     def pageDict(i: Int, p: PageSpec) = {
       val uw = if (rotate == 90 || rotate == 270) p.pageH else p.pageW
       val uh = if (rotate == 90 || rotate == 270) p.pageW else p.pageH
+      // form mode: fonts ride on the form's OWN resources, the page only
+      // names the XObject — exercising the parser's two-level resolution
+      val res =
+        if (form) s" /Resources << /XObject << /Fm0 ${formBase + i} 0 R >> >>"
+        else fontRes
       s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 $uw $uh]$rotPart " +
-        s"/Contents ${4 + 2 * i} 0 R$resources >>"
+        s"/Contents ${4 + 2 * i} 0 R$res >>"
+    }
+    // shared stream encoder: compress/lzw then optional hex armor + filter decl
+    def encodeStream(raw: Array[Byte]): (Array[Byte], String) = {
+      val deflated =
+        if (compress) deflate(raw) else if (lzw) lzwEncode(raw) else raw
+      val data =
+        if (!hexArmor) deflated
+        else {
+          val sb = new java.lang.StringBuilder(deflated.length * 2 + 1)
+          deflated.foreach(b => sb.append(f"${b & 0xff}%02X"))
+          sb.append('>')
+          sb.toString.getBytes(Latin1)
+        }
+      val innerFilter =
+        if (compress) "/FlateDecode" else if (lzw) "/LZWDecode" else ""
+      val filter =
+        if (hexArmor && innerFilter.nonEmpty) s" /Filter [/ASCIIHexDecode $innerFilter]"
+        else if (innerFilter.nonEmpty) s" /Filter $innerFilter"
+        else if (hexArmor) " /Filter /ASCIIHexDecode"
+        else ""
+      (data, filter)
     }
 
     put("%PDF-1.4\n")
@@ -324,27 +367,29 @@ object PdfLite {
         put(s"$pageObj 0 obj ${pageDict(i, p)} endobj\n")
       }
       val raw = pageContent(p, tjEv, hexEv, enc, rotate).getBytes(Latin1)
-      val deflated =
-        if (compress) deflate(raw) else if (lzw) lzwEncode(raw) else raw
-      val data =
-        if (!hexArmor) deflated
-        else {
-          val sb = new java.lang.StringBuilder(deflated.length * 2 + 1)
-          deflated.foreach(b => sb.append(f"${b & 0xff}%02X"))
-          sb.append('>')
-          sb.toString.getBytes(Latin1)
-        }
-      val innerFilter =
-        if (compress) "/FlateDecode" else if (lzw) "/LZWDecode" else ""
-      val filter =
-        if (hexArmor && innerFilter.nonEmpty) s" /Filter [/ASCIIHexDecode $innerFilter]"
-        else if (innerFilter.nonEmpty) s" /Filter $innerFilter"
-        else if (hexArmor) " /Filter /ASCIIHexDecode"
-        else ""
-      beginObj(contObj)
-      put(s"$contObj 0 obj << /Length ${data.length}$filter >> stream\n")
-      out.write(data)
-      put("\nendstream endobj\n")
+      if (form) {
+        // tiny invoking stream on the page, real body in the Form XObject
+        val inv = "/Fm0 Do\n".getBytes(Latin1)
+        beginObj(contObj)
+        put(s"$contObj 0 obj << /Length ${inv.length} >> stream\n")
+        out.write(inv)
+        put("\nendstream endobj\n")
+        val (data, filter) = encodeStream(raw)
+        val formObj = formBase + i
+        val uw = if (rotate == 90 || rotate == 270) p.pageH else p.pageW
+        val uh = if (rotate == 90 || rotate == 270) p.pageW else p.pageH
+        beginObj(formObj)
+        put(s"$formObj 0 obj << /Type /XObject /Subtype /Form " +
+          s"/BBox [0 0 $uw $uh]$fontRes /Length ${data.length}$filter >> stream\n")
+        out.write(data)
+        put("\nendstream endobj\n")
+      } else {
+        val (data, filter) = encodeStream(raw)
+        beginObj(contObj)
+        put(s"$contObj 0 obj << /Length ${data.length}$filter >> stream\n")
+        out.write(data)
+        put("\nendstream endobj\n")
+      }
     }
     if (scanned) {
       beginObj(imageObjNum)
@@ -1088,6 +1133,49 @@ object PdfLite {
     }.getOrElse(Map.empty)
   }
 
+  /** A Form XObject ready for execution by the `Do` operator: decoded
+    * content plus the form's OWN font/XObject resources (empty maps → the
+    * invoking context's resources apply, per PDF 32000-1 §8.10.1 note). */
+  private final case class FormX(content: String, fonts: Map[String, FontInfo],
+                                 forms: Map[String, FormX])
+
+  /** Resolve a dict's `/Resources → /XObject` entries to executable
+    * `/Subtype /Form` streams (image XObjects are skipped — `Do` on them
+    * paints pixels, no text). Real PDFs put letterheads, stamps, and
+    * entire page bodies in forms, and forms nest; `depth` caps the eager
+    * resolution (and with it any reference cycle) at 3 levels. */
+  private def formInfos(s: String, dict: String, inherited: Option[String],
+                        byNum: Map[Int, PdfObj], depth: Int = 0): Map[String, FormX] = {
+    if (depth > 2) return Map.empty
+    def resourcesText(d: String): Option[String] = {
+      val i = d.indexOf("/Resources")
+      if (i < 0) None
+      else refOf(d.substring(i), "/Resources") match {
+        case Some(r) => byNum.get(r).map(_.dict)
+        case None => dictSpan(d, i + "/Resources".length)
+      }
+    }
+    val res = resourcesText(dict).orElse(inherited.flatMap(resourcesText))
+    res.flatMap { r =>
+      val xi = r.indexOf("/XObject")
+      if (xi < 0) None
+      else dictSpan(r, xi + "/XObject".length).map { xobjs =>
+        val m = FontRefPat.matcher(xobjs)
+        val out = Map.newBuilder[String, FormX]
+        while (m.find()) {
+          byNum.get(m.group(2).toInt) match {
+            case Some(o) if o.dict.contains("/Subtype /Form") && o.hasStream =>
+              out += m.group(1) -> FormX(streamText(s, o),
+                fontInfos(s, o.dict, None, byNum),
+                formInfos(s, o.dict, None, byNum, depth + 1))
+            case _ =>
+          }
+        }
+        out.result()
+      }
+    }.getOrElse(Map.empty)
+  }
+
   /** windows-1252 view of a raw byte-per-char string — applied when the
     * current font declares `/WinAnsiEncoding` (maps 0x80–0x9F to smart
     * quotes, dashes, €, …; the rest coincides with Latin-1). */
@@ -1203,10 +1291,11 @@ object PdfLite {
         val (dw, dh) = if (rot == 90 || rot == 270) (h, w) else (w, h)
         if (idx == 0) { firstW = dw; firstH = dh }
         val fonts = fontInfos(s, p.dict, pagesNode.map(_.dict), byNum)
+        val forms = formInfos(s, p.dict, pagesNode.map(_.dict), byNum)
         val contents = refsOf(p.dict, "/Contents").flatMap(byNum.get)
         for (c <- contents) {
           val txt = contentOf(c)
-          if (run) interpret(txt, w, h, rot, idx + 1, items, fonts)
+          if (run) interpret(txt, w, h, rot, idx + 1, items, fonts, forms)
         }
       }
       Parsed(items.result(), firstW, firstH, hasImage, pageObjs.length)
@@ -1290,7 +1379,8 @@ object PdfLite {
   private def interpret(content: String, pageW: Int, pageH: Int, rot: Int,
                         pageNum: Int,
                         out: mutable.Builder[TextItem, Vector[TextItem]],
-                        fonts: Map[String, FontInfo] = Map.empty): Unit = {
+                        fonts: Map[String, FontInfo] = Map.empty,
+                        forms: Map[String, FormX] = Map.empty): Unit = {
     var i = 0
     val n = content.length
     val MaxArrayNesting = 32
@@ -1369,7 +1459,44 @@ object PdfLite {
         case "Tm" =>
           if (opCount >= 6) { tmx = prevNum; tmy = lastNum; lmx = tmx; lmy = tmy }
         case "T*" => lmy -= leading; tmx = lmx; tmy = lmy
+        case "TL" => if (opCount >= 1) leading = lastNum
         case "Tj" => if (lastKind == KStr) emit(lastStr)
+        case "'" | "\"" =>
+          // move-to-next-line-and-show; `"` additionally carries aw/ac
+          // word/char spacing operands, which this geometry model ignores
+          lmy -= leading; tmx = lmx; tmy = lmy
+          if (lastKind == KStr) emit(lastStr)
+        case "Do" =>
+          // execute a Form XObject's content stream in place. Fonts: the
+          // form's own resources win, else the invoking context's
+          // (PDF §8.10.1). Nested forms come only from the form's OWN
+          // resources — inheriting the caller's form map would let a form
+          // invoke itself through the caller's name and loop
+          if (lastKind == KName) forms.get(lastStr) match {
+            case Some(f) =>
+              interpret(f.content, pageW, pageH, rot, pageNum, out,
+                if (f.fonts.nonEmpty) f.fonts else fonts,
+                if (f.forms.nonEmpty) f.forms else Map.empty)
+            case None =>
+          }
+        case "BI" =>
+          // inline image: `BI <dict> ID <binary> EI` — the binary payload
+          // can contain ANY delimiter chars, so jump to the EI sentinel
+          // (whitespace-preceded, delimiter/EOF-followed) instead of
+          // tokenizing through it
+          val id = content.indexOf("ID", i)
+          if (id >= 0) {
+            var p = content.indexOf("EI", id + 2)
+            var end = -1
+            while (end < 0 && p >= 0) {
+              val okBefore = p > 0 && content.charAt(p - 1).isWhitespace
+              val okAfter = p + 2 >= n || content.charAt(p + 2).isWhitespace ||
+                "([</".indexOf(content.charAt(p + 2)) >= 0
+              if (okBefore && okAfter) end = p + 2
+              else p = content.indexOf("EI", p + 1)
+            }
+            i = if (end < 0) n else end // no EI: the rest is image bytes
+          } // no ID: malformed — treat BI as an unknown op and scan on
         case "TJ" =>
           if (lastKind == KArr && lastArr != null) {
             val it = lastArr.iterator

@@ -418,6 +418,83 @@ class PdfLiteSpec extends AnyFunSuite {
     assert(modern.items.map(_.text) == Vector(text), modern.items)
   }
 
+  test("Form XObjects: page bodies behind `Do` parse identically") {
+    val plain = PdfLite.parse(doc3(compress = false))
+    val pages = (1 to 3).map(p => PdfLite.PageSpec(800, 1000, runsOf(p, 100 + 10 * p)))
+    val viaForm = PdfLite.writeDoc(pages, form = true)
+    val s = new String(viaForm, StandardCharsets.ISO_8859_1)
+    assert(s.contains("/Subtype /Form") && s.contains("/Fm0 Do"))
+    val parsed = PdfLite.parse(viaForm)
+    assert(parsed.items == plain.items && parsed.nPages == 3)
+    // the modern-writer combo: compressed form streams + ObjStm + xref stream
+    val modern = PdfLite.parse(PdfLite.writeDoc(pages,
+      form = true, compress = true, objStm = true, xrefStream = true))
+    assert(modern.items == plain.items && modern.nPages == 3)
+    // fonts resolve from the form's OWN /Resources (page names only the Fm)
+    val text = "résumé — forma Ω"
+    val fontForm = PdfLite.parse(PdfLite.writeDoc(Seq(PdfLite.PageSpec(400, 400,
+      Seq(PdfLite.Run(10, 50, 12, text)))), form = true, toUnicode = true))
+    assert(fontForm.items.map(_.text) == Vector(text), fontForm.items)
+  }
+
+  test("nested and cyclic Form XObjects stay bounded; unknown Do names skip") {
+    // hand-written: page -> FmA -> FmB (text), and FmB cycles back to FmA;
+    // resolution is depth-capped so the cycle terminates with the text found
+    val content = "/FmA Do"
+    val a = "BT /F1 10 Tf 10 100 Td (outer) Tj ET /FmB Do /Nope Do"
+    val b = "BT /F1 10 Tf 10 80 Td (inner) Tj ET /FmA Do"
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 200 200] " +
+      "/Contents 4 0 R /Resources << /XObject << /FmA 5 0 R >> >> >> endobj\n" +
+      s"4 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n" +
+      s"5 0 obj << /Type /XObject /Subtype /Form /BBox [0 0 200 200] " +
+      s"/Resources << /XObject << /FmB 6 0 R >> >> /Length ${a.length} >> stream\n$a\nendstream endobj\n" +
+      s"6 0 obj << /Type /XObject /Subtype /Form /BBox [0 0 200 200] " +
+      s"/Resources << /XObject << /FmA 5 0 R >> >> /Length ${b.length} >> stream\n$b\nendstream endobj\n" +
+      "%%EOF\n").getBytes(StandardCharsets.ISO_8859_1)
+    val parsed = PdfLite.parse(pdf)
+    // depth cap 3: page→A→B→A(text only, B unresolved at depth 3) — the
+    // cycle contributes finitely and never loops
+    assert(parsed.items.map(_.text).startsWith(Vector("outer", "inner")), parsed.items)
+    assert(parsed.items.count(_.text == "outer") <= 2)
+  }
+
+  test("TL leading with ' and \" show operators advances lines") {
+    val content = "BT /F1 10 Tf 1 0 0 1 10 180 Tm 14 TL (one) Tj " +
+      "(two) ' 1 2 (three) \" ET"
+    val pdf = ("%PDF-1.4\n2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /MediaBox [0 0 200 200] /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n" +
+      "%%EOF\n").getBytes(StandardCharsets.ISO_8859_1)
+    val parsed = PdfLite.parse(pdf)
+    assert(parsed.items.map(_.text) == Vector("one", "two", "three"), parsed.items)
+    // y-top = pageH - tmy - size: 200-180-10, then 14 down per ' / "
+    assert(parsed.items.map(_.y) == Vector(10, 24, 38), parsed.items)
+    assert(parsed.items.map(_.x) == Vector(10, 10, 10))
+  }
+
+  test("inline images (BI..ID..EI) are skipped even with delimiter-soup payloads") {
+    val binary = " ÿ(<[/IDEI_not_it)]" * 3
+    val content = "BT /F1 10 Tf 10 180 Td (before) Tj ET " +
+      s"BI /W 2 /H 2 /BPC 8 ID $binary EI " +
+      "BT /F1 10 Tf 10 160 Td (after) Tj ET"
+    val pdf = ("%PDF-1.4\n2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /MediaBox [0 0 200 200] /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n" +
+      "%%EOF\n").getBytes(StandardCharsets.ISO_8859_1)
+    val parsed = PdfLite.parse(pdf)
+    assert(parsed.items.map(_.text) == Vector("before", "after"), parsed.items)
+    // truncated variant: BI with no EI — rest of stream is image bytes
+    val trunc = content.replace(" EI ", " ")
+    val pdf2 = ("%PDF-1.4\n2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /MediaBox [0 0 200 200] /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${trunc.length} >> stream\n$trunc\nendstream endobj\n" +
+      "%%EOF\n").getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfLite.parse(pdf2).items.map(_.text) == Vector("before"))
+  }
+
   test("round-1 dialect (no explicit write path) still parses via the object tree") {
     val legacy = PdfLite.write(1700, 1200, Seq(
       PdfLite.Run(40, 300, 12, "legacy run")), scanned = true)

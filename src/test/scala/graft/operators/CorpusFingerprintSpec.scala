@@ -57,6 +57,16 @@ class CorpusFingerprintSpec extends AnyFunSuite {
       "/ToUnicode branch not sampled")
     assert(pdfs.exists { case (_, p) => raw(p.html).contains("/ASCIIHexDecode") },
       "ASCIIHex-armor branch not sampled")
+    assert(pdfs.exists { case (_, p) => raw(p.html).contains("/LZWDecode") },
+      "LZWDecode branch not sampled")
+    assert(pdfs.exists { case (_, p) => raw(p.html).contains("/Predictor 12") },
+      "predictor-encoded xref-stream branch not sampled")
+    assert(pdfs.exists { case (_, p) => raw(p.html).contains("/Rotate ") },
+      "/Rotate branch not sampled")
+    assert(pdfs.exists { case (_, p) => raw(p.html).contains("/Identity-H") },
+      "Identity-H CID branch not sampled")
+    assert(pdfs.exists { case (_, p) => raw(p.html).contains("/Subtype /Form") },
+      "Form-XObject branch not sampled")
     for (v <- Seq("newark", "sysco", "test"))
       assert(pdfs.exists(_._2.url.contains(s"/$v/")), s"vendor $v not sampled")
     for (l <- Seq("en", "de", "es"))
