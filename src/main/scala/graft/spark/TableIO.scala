@@ -49,3 +49,80 @@ final class ParquetTableIO(outDir: String) extends TableIO {
   override def readLineage(spark: SparkSession): DataFrame =
     spark.read.parquet(lineagePath)
 }
+
+/** S10 — the reference's CSV fallback sink (`table_slicer.py:155-162`: the
+  * Excel save throws → the same frame degrades to a headerless CSV instead
+  * of losing the batch), re-expressed at table granularity: when the primary
+  * table commit fails, the docs land as a bucket-partitioned CSV table
+  * carrying the FLAT projection plus `grid_csv` — each document's cell grid
+  * rendered by the pandas-parity renderer ([[graft.functions.CsvGrid]] /
+  * [[graft.kernel.Csv]]), i.e. exactly the artifact the reference's fallback
+  * writes per document. Nested columns (spans, quality struct) are the
+  * "Excel formatting" analog: dropped by the degraded format, by design.
+  *
+  * The fallback commit is durable (`_SUCCESS`-gated, like the primary):
+  * `readDocs` serves the CSV table whenever one committed, so the job's
+  * lineage rollup — which only needs flat columns — and a later inspection
+  * read work unchanged. Lineage stays on the primary backend (the reference
+  * falls back for the table artifact only, not its bookkeeping).
+  */
+final class CsvFallbackTableIO(primary: TableIO, csvPath: String) extends TableIO {
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types._
+
+  private val flatSchema = StructType(Seq(
+    StructField("url", StringType), StructField("route", StringType),
+    StructField("vendor", StringType), StructField("failure", StringType),
+    StructField("nItems", IntegerType), StructField("nPages", IntegerType),
+    StructField("nBytes", LongType), StructField("grid_csv", StringType)))
+
+  // dynamic-partition-overwrite commits don't emit _SUCCESS; the sink writes
+  // its own marker AFTER the csv job commits, so readers never see a torn table
+  private val marker = "_GRAFT_CSV_COMMIT"
+
+  private def csvCommitted(spark: SparkSession): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$csvPath/$marker")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  override def writeDocs(docs: DataFrame): Unit =
+    try primary.writeDocs(docs)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"primary table write failed (${e.getClass.getSimpleName}: " +
+            s"${e.getMessage}); falling back to CSV at $csvPath")
+        docs.select(col("url"), col("route"), col("vendor"), col("failure"),
+            col("nItems"), col("nPages"), col("nBytes"),
+            graft.functions.CsvGrid.column(col("cells")).as("grid_csv"),
+            col("bucket"))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          // RFC-4180 doubling (the pandas convention) for the sink's own
+          // quoting, so grid_csv's embedded quotes/newlines round-trip;
+          // the writer trims field whitespace by default, which would eat
+          // grid_csv's trailing newline — disable both trims
+          .option("escape", "\"")
+          .option("ignoreLeadingWhiteSpace", "false")
+          .option("ignoreTrailingWhiteSpace", "false")
+          .partitionBy("bucket")
+          .csv(csvPath)
+        val p = new org.apache.hadoop.fs.Path(s"$csvPath/$marker")
+        p.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
+          .create(p, true).close()
+    }
+
+  override def readDocs(spark: SparkSession): DataFrame =
+    if (csvCommitted(spark))
+      spark.read.schema(flatSchema)
+        .option("escape", "\"").option("multiLine", "true")
+        .csv(csvPath)
+        // CSV writes empty strings as empty fields, read back as null
+        .na.fill("", Seq("url", "route", "vendor", "failure", "grid_csv"))
+        .withColumn("bucket", col("bucket").cast("long"))
+    else primary.readDocs(spark)
+
+  override def appendLineage(lineage: DataFrame): Unit = primary.appendLineage(lineage)
+  override def lineageExists(spark: SparkSession): Boolean = primary.lineageExists(spark)
+  override def readLineage(spark: SparkSession): DataFrame = primary.readLineage(spark)
+}

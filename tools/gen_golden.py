@@ -145,8 +145,38 @@ for t in texts:
              for i, x in enumerate(t)]
     vendor_cases.append({"texts": t, "vendor": tm.detect_vendor(items)})
 
+# CSV-sink parity battery (table_slicer.py:159-162 fallback:
+# df.to_csv(path, index=False, header=False) — pandas itself renders the
+# expected strings; graft.kernel.Csv must match byte-for-byte)
+import pandas as pd  # noqa: E402 (the reference's own dependency)
+csv_tricky = [
+    [],
+    [[]],
+    [[""]],
+    [["a"]],
+    [["", ""]],
+    [["\r"]],
+    [[" lead", "trail "]],
+    [["has,comma", 'has"quote', "has\nnewline"], ["has\rcr", "plain", ""]],
+    [['"', '""', ',', '\n'], ['a,b"c\nd', "", "x,\"y\"\nz"]],
+    [["naïve café — em–dash", "€171.74", "12\t13"]],
+    [["", "", ""], ["", "x", ""]],
+    [["a"], []],
+    [["a"], ["b", "c"], ["d", "e", "f"]],
+    [["O'Lakes", "$171.74", "9/10/2025"], ["160CT 3OZ BURGER", "72 per case", "E S Food"]],
+]
+csv_cases = [{"grid": g,
+              "csv": pd.DataFrame(g).to_csv(index=False, header=False)}
+             for g in csv_tricky]
+# every slicer-produced grid, rendered by pandas (the real sink input shape)
+for c in cases:
+    if c["grid"]:
+        csv_cases.append({"grid": c["grid"],
+                          "csv": pd.DataFrame(c["grid"]).to_csv(index=False, header=False)})
+
 out = {
     "slice_cases": cases,
+    "csv_cases": csv_cases,
     "splittable": splittable,
     "thresholds": thresholds,
     "ratio_pairs": pairs,
