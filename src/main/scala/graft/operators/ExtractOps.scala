@@ -413,6 +413,26 @@ object ExtractOps {
        |  cast(sum(n_chars) as bigint) AS sum_chars
        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q43_csv_render — S10's degraded artifact as a query: each document's
+    * cell grid rendered to the pandas-parity CSV by the BUILTIN-expression
+    * renderer ([[graft.functions.CsvGrid]], codegen'd `transform` +
+    * `array_join`, no UDF), hashed per url. The DuckDB side reads the
+    * committed golden `csv_md5`/`csv_len` — rendered by the kernel twin
+    * [[graft.kernel.Csv]], itself pinned byte-for-byte to the reference's own
+    * pandas `to_csv` (CsvParitySpec) — so the expression surface, the kernel
+    * renderer, and pandas are all tied together cross-engine. */
+  def q43CsvRender(spark: SparkSession, dir: String): DataFrame =
+    extracted(spark, dir)
+      .select(col("url"), graft.functions.CsvGrid.column(col("cells")).as("csv"))
+      .select(col("url"), md5(col("csv").cast("binary")).as("csv_md5"),
+        length(col("csv")).as("csv_len"))
+      .orderBy(col("url"))
+      .limit(200)
+
+  val q43CsvRenderSql: String =
+    s"""WITH g AS (${goldenDocsSql()})
+       |SELECT url, csv_md5, csv_len FROM g ORDER BY url LIMIT 200""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_extract_rollup" -> (q25ExtractRollup _),
     "q26_extract_text_hash" -> (q26ExtractTextHash _),
@@ -423,7 +443,8 @@ object ExtractOps {
     "q38_extract_pages" -> (q38ExtractPages _),
     "q39_template_stats" -> (q39TemplateStats _),
     "q41_quality_hist" -> (q41QualityHist _),
-    "q42_stream_extract" -> (q42StreamExtract _))
+    "q42_stream_extract" -> (q42StreamExtract _),
+    "q43_csv_render" -> (q43CsvRender _))
 
   def oracles: Map[String, String] = Map(
     "q25_extract_rollup" -> q25ExtractRollupSql,
@@ -435,5 +456,6 @@ object ExtractOps {
     "q38_extract_pages" -> q38ExtractPagesSql,
     "q39_template_stats" -> q39TemplateStatsSql,
     "q41_quality_hist" -> q41QualityHistSql,
-    "q42_stream_extract" -> q42StreamExtractSql)
+    "q42_stream_extract" -> q42StreamExtractSql,
+    "q43_csv_render" -> q43CsvRenderSql)
 }

@@ -2,7 +2,7 @@ package graft.tools
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import org.apache.spark.sql.{SaveMode, SparkSession}
-import graft.kernel.{Corpus, Extractor, Multimodal}
+import graft.kernel.{Corpus, Csv, Extractor, Multimodal}
 
 /** Regenerates the committed golden-extraction parquets under `data/` that
   * back the DuckDB oracles of the extraction-family catalog queries
@@ -55,10 +55,12 @@ object GenGoldenExtract {
     val docs = spark.range(0, n, 1, 16).map { i =>
       val p = Corpus.page(i)
       val d = Extractor.extract(p.url, p.html, p.text, p.lang)
+      val csv = Csv.render(d.cells)
       (i, d.url, d.route, d.vendor, d.failure, d.nItems, d.nPages,
-        d.extractedText.length, md5hex(d.extractedText), d.quality.overallScore)
+        d.extractedText.length, md5hex(d.extractedText), d.quality.overallScore,
+        md5hex(csv), csv.length)
     }.toDF("idx", "url", "route", "vendor", "failure", "n_items", "n_pages",
-      "n_chars", "text_md5", "quality_score")
+      "n_chars", "text_md5", "quality_score", "csv_md5", "csv_len")
     commitSingleFile(docs.orderBy("idx"), "golden_docs.parquet")
 
     val pages = spark.range(0, n, 1, 16).flatMap { i =>

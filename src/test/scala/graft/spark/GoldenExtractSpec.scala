@@ -21,12 +21,14 @@ class GoldenExtractSpec extends SparkTestBase {
     g.foreach { case (i, r) =>
       val p = Corpus.page(i)
       val d = Extractor.extract(p.url, p.html, p.text, p.lang)
+      val csv = graft.kernel.Csv.render(d.cells)
       assert(r.getString(1) == d.url && r.getString(2) == d.route &&
         r.getString(3) == d.vendor && r.getString(4) == d.failure &&
         r.getInt(5) == d.nItems && r.getInt(6) == d.nPages &&
         r.getInt(7) == d.extractedText.length &&
         r.getString(8) == md5hex(d.extractedText) &&
-        r.getDouble(9) == d.quality.overallScore,
+        r.getDouble(9) == d.quality.overallScore &&
+        r.getString(10) == md5hex(csv) && r.getInt(11) == csv.length,
         s"idx=$i drifted from golden_docs — $hint")
     }
   }
