@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// local-cluster[...] masters (the bench's multi-executor scaling mode)
+// launch executor JVMs through the standalone Worker, whose command
+// builder resolves the Spark layout from these two env vars.
+val sparkWorkerEnv = Map("SPARK_HOME" -> "/opt/spark", "SPARK_SCALA_VERSION" -> "2.13")
+run / envVars ++= sparkWorkerEnv
+Test / envVars ++= sparkWorkerEnv
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -21,7 +21,8 @@ import graft.spark.{ExtractJob, ExtractPipeline}
   * (default 300000), GRAFT_BENCH_REPS (10, convergence early-stop),
   * GRAFT_BENCH_QUERY_REPS (3, best-of for each headline query),
   * GRAFT_BENCH_BUDGET_SEC (1500), GRAFT_BENCH_N (2),
-  * GRAFT_BENCH_SKIP_SCALING=1.
+  * GRAFT_BENCH_SKIP_SCALING=1, GRAFT_BENCH_SKIP_QUERIES=1 (scaling-only
+  * re-measurement when a noisy window spoiled the scaling record).
   */
 object Bench {
 
@@ -52,18 +53,84 @@ object Bench {
     finally spark.stop()
   }
 
-  /** One timed extraction run at one parallelism level (fresh session,
-    * 512-doc warmup, then the timed job over the materialized table). */
-  private def extractOnce(threads: Int, corpusPath: String, outDir: String,
+  /** A parallelism level under measurement: either `local[n]` threads in the
+    * shared driver JVM, or `local-cluster[n, cores, mem]` — real SEPARATE
+    * executor JVMs (own heap + GC, registered over RPC), the closest local
+    * evidence mode to the north rule's "spark-submit at N and 4N executors".
+    * Thread mode couples the levels through one shared heap (GC and allocator
+    * pressure scale with thread count), which understates cluster scaling —
+    * a real 4N-executor cluster brings 4× the heaps, not 4× the threads in
+    * one heap. */
+  final case class Level(label: String, master: String, totalCores: Int,
+                         execMemMb: Int = 0) {
+    def jobPartitions: Int = totalCores * 4
+  }
+
+  object Level {
+    def threads(n: Int): Level = Level(s"local[$n]", s"local[$n]", n)
+    def executors(n: Int, coresPerExec: Int, memMb: Int = 4096): Level =
+      Level(s"$n x $coresPerExec-core executors",
+        s"local-cluster[$n,$coresPerExec,$memMb]", n * coresPerExec, memMb)
+  }
+
+  private def sessionFor(level: Level): SparkSession = {
+    val b = SparkSession.builder()
+      .master(level.master)
+      .appName(s"graft-bench-${level.totalCores}")
+      .config("spark.sql.shuffle.partitions", level.totalCores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+    val withExec =
+      if (level.master.startsWith("local-cluster")) b
+        .config("spark.executor.memory", s"${level.execMemMb}m")
+        // executors are fresh JVMs with no sbt classpath — hand them ours
+        .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
+      else b
+    val s = withExec.getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** One timed extraction run at one parallelism level (fresh session, an
+    * untimed warmup, then the timed job over the materialized table). The
+    * warmup is sized PER CORE (1000 docs/core) and spread over every job
+    * partition: in cluster mode each rep boots fresh executor JVMs, so the
+    * warmup must reach every executor with enough work to register it AND
+    * JIT-compile the kernel there — a fixed 512-doc warmup left most
+    * executors cold and the timed 4N runs paid the JIT bill (a fixed cost
+    * that biases the ratio against the faster level). */
+  private def extractOnce(level: Level, corpusPath: String, outDir: String,
                           rep: Int): ExtractJob.Metrics = {
-    val spark = session(threads)
+    val spark = sessionFor(level)
     try {
-      ExtractPipeline.extractDf(ExtractPipeline.pages(spark, 512).toDF())
+      ExtractPipeline.extractDf(ExtractPipeline.pages(
+          spark, 1000L * level.totalCores, numPartitions = level.jobPartitions).toDF())
         .foreach(_ => ())
       ExtractJob.run(spark, spark.read.parquet(corpusPath),
-        s"$outDir/r$rep", runId = s"bench-$threads-$rep",
-        nBuckets = 32, numPartitions = threads * 4)
+        s"$outDir/r${level.totalCores}-$rep", runId = s"bench-${level.totalCores}-$rep",
+        nBuckets = 32, numPartitions = level.jobPartitions)
     } finally spark.stop()
+  }
+
+  /** Can this environment launch separate executor JVMs? (Requires
+    * SPARK_HOME/SPARK_SCALA_VERSION for the worker's command builder —
+    * build.sbt sets both for forked runs; a bare `java -cp` launch might
+    * not.) A broken local-cluster hangs waiting for executors rather than
+    * throwing, so the probe runs under a hard timeout. */
+  private def clusterModeWorks(): Boolean = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    try {
+      val spark = sessionFor(Level.executors(1, 2, 2048))
+      try Await.result(Future(spark.range(100).count() == 100L), 120.seconds)
+      finally spark.stop()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] local-cluster probe failed (${e.getClass.getSimpleName}: " +
+        s"${e.getMessage}); falling back to thread-mode scaling")
+      false
+    }
   }
 
   /** The VM this runs on shows up-to-7× multithreaded throughput swings in
@@ -80,7 +147,7 @@ object Bench {
     * no rep improved either best by >3% for three consecutive rounds (an
     * efficiency-blind rule: it cannot bias the reported number) — with a
     * wall-clock budget (GRAFT_BENCH_BUDGET_SEC) bounding worst-case noise. */
-  private def scalingRuns(lo: Int, hi: Int, corpusPath: String, outDir: String, reps: Int)
+  private def scalingRuns(lo: Level, hi: Level, corpusPath: String, outDir: String, reps: Int)
       : (Seq[ExtractJob.Metrics], Seq[ExtractJob.Metrics]) = {
     val budgetSec = sys.env.getOrElse("GRAFT_BENCH_BUDGET_SEC", "1500").toInt
     // noise windows last MINUTES: a run must span more wall-clock than one
@@ -89,30 +156,39 @@ object Bench {
     // and three stale rounds before stopping
     val minReps = math.min(5, reps)
     val t0 = System.nanoTime()
-    val rLo = Seq.newBuilder[ExtractJob.Metrics]
-    val rHi = Seq.newBuilder[ExtractJob.Metrics]
+    val rLo = scala.collection.mutable.ArrayBuffer[ExtractJob.Metrics]()
+    val rHi = scala.collection.mutable.ArrayBuffer[ExtractJob.Metrics]()
     var bestLo = Double.MaxValue
     var bestHi = Double.MaxValue
     var staleRounds = 0
     var r = 1
     var done = false
     while (r <= reps && !done) {
-      val mLo = extractOnce(lo, corpusPath, s"$outDir/out$lo", r)
-      val mHi = extractOnce(hi, corpusPath, s"$outDir/out$hi", r)
+      val mLo = extractOnce(lo, corpusPath, s"$outDir/outLo", r)
+      val mHi = extractOnce(hi, corpusPath, s"$outDir/outHi", r)
       rLo += mLo; rHi += mHi
       val improved = mLo.wallSec < bestLo * 0.97 || mHi.wallSec < bestHi * 0.97
       bestLo = math.min(bestLo, mLo.wallSec)
       bestHi = math.min(bestHi, mHi.wallSec)
       staleRounds = if (improved) 0 else staleRounds + 1
+      // round-3 lesson: a run whose tail reps all sit inside one degraded
+      // window looks "converged" (nothing improves) while both minima are
+      // still inflated. Require ≥3 CLEAN pairs — both reps within 2× their
+      // level minimum, the same absolute-time-only criterion the trimmed
+      // estimator uses — before the stale rule may stop the loop. The rule
+      // stays efficiency-blind: it never reads a ratio.
+      val cleanPairs = rLo.zip(rHi).count { case (a, b) =>
+        a.wallSec <= 2.0 * bestLo && b.wallSec <= 2.0 * bestHi }
       val elapsed = (System.nanoTime() - t0) / 1e9
-      done = (r >= minReps && (staleRounds >= 3 || elapsed > budgetSec)) ||
+      done = (r >= minReps &&
+          ((staleRounds >= 3 && cleanPairs >= 3) || elapsed > budgetSec)) ||
         // hard stop: a pathological noise window (single reps of 900s were
         // observed) must not hold the whole bench hostage — past 2× budget,
         // two pairs are enough to report
         (r >= 2 && elapsed > 2.0 * budgetSec)
       r += 1
     }
-    (rLo.result(), rHi.result())
+    (rLo.toSeq, rHi.toSeq)
   }
 
   val headline: Seq[String] = Seq(
@@ -140,15 +216,18 @@ object Bench {
     // into the round record (176.8 s recorded for a ~13 s build). Each query
     // now gets best-of-QUERY_REPS timed reps with the per-rep array in the
     // artifact, and the one-time corpus-cache build happens before any timer.
+    val skipQueries = sys.env.get("GRAFT_BENCH_SKIP_QUERIES").contains("1")
     val spark = session(cpus)
-    try graft.operators.ExtractOps.prewarmCorpus(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] corpus prewarm failed: ${e.getMessage}") }
+    if (!skipQueries)
+      try graft.operators.ExtractOps.prewarmCorpus(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] corpus prewarm failed: ${e.getMessage}") }
     val queryReps = sys.env.getOrElse("GRAFT_BENCH_QUERY_REPS", "3").toInt
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val repArrays = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    for (name <- headline; fn <- SparkEntry.queries.get(name)) {
+    for (name <- if (skipQueries) Seq.empty[String] else headline;
+         fn <- SparkEntry.queries.get(name)) {
       // warm (plan + scan caches), then best-of-N timed reps
       try {
         fn(spark, sfDir).count()
@@ -182,7 +261,25 @@ object Bench {
       val n = sys.env.getOrElse("GRAFT_BENCH_N", "2").toInt
       val corpusPath = s"$tmp/corpus"
       materializeCorpus(nDocs, corpusPath)
-      val (allLo, allHi) = scalingRuns(n, 4 * n, corpusPath, tmp, reps)
+      // GRAFT_BENCH_MODE=cluster measures N vs 4N separate EXECUTOR JVMs
+      // (local-cluster) — the literal form of the north rule's "N and 4N
+      // executors", and the mode to use on real hardware. It is OPT-IN here
+      // because this sandbox VM's host-level JVM slowdown (see BASELINE.md
+      // "VM noise") is TRIGGERED/amplified by many concurrent JVMs: probes
+      // show 8-executor runs degrading 6x within a session while an
+      // equal-core local[16] run stays fast, so local-cluster numbers on
+      // this VM measure the host effect, not the job. Default: local[n]
+      // threads (both levels below the shared-heap bandwidth ceiling).
+      val execCores = sys.env.getOrElse("GRAFT_BENCH_EXEC_CORES", "2").toInt
+      val wantCluster = sys.env.get("GRAFT_BENCH_MODE").contains("cluster")
+      val useCluster = wantCluster && clusterModeWorks()
+      val (levelLo, levelHi) =
+        if (useCluster) (Level.executors(n, execCores), Level.executors(4 * n, execCores))
+        else (Level.threads(n), Level.threads(4 * n))
+      val modeNote =
+        if (useCluster) "executors(local-cluster): each level runs separate executor JVMs (own heap/GC) like a real cluster"
+        else "threads(local[n]): shared-JVM levels, both kept below the single-heap bandwidth ceiling; cluster mode is opt-in (GRAFT_BENCH_MODE=cluster) because many concurrent JVMs trigger this VM's host-level slowdown"
+      val (allLo, allHi) = scalingRuns(levelLo, levelHi, corpusPath, tmp, reps)
       val mLo = allLo.minBy(_.wallSec)
       val mHi = allHi.minBy(_.wallSec)
       val eff = (mHi.docsPerSec / mLo.docsPerSec) / 4.0
@@ -223,14 +320,18 @@ object Bench {
         "pair_eff_median = untrimmed median, reported for transparency, collapses when one " +
         "rep of a pair straddles a degraded window"
       // peak32 is a single-sample number in a noisy VM — take best-of-2
+      val peakLevel =
+        if (useCluster) Level.executors(8, 4) else Level.threads(32)
       val m32 = Seq(
-        extractOnce(32, corpusPath, s"$tmp/out32", 1),
-        extractOnce(32, corpusPath, s"$tmp/out32", 2)).minBy(_.wallSec)
+        extractOnce(peakLevel, corpusPath, s"$tmp/out32", 1),
+        extractOnce(peakLevel, corpusPath, s"$tmp/out32", 2)).minBy(_.wallSec)
       def secs(ms: Seq[ExtractJob.Metrics]) =
         ms.map(m => f"${m.wallSec}%.2f").mkString("[", ",", "]")
       scalingJson =
         f"""{"docs":${mLo.docs},"bytes":${mLo.bytes},""" +
-        f""""n_threads":$n,"n4_threads":${4 * n},""" +
+        f""""mode":"${if (useCluster) "executors" else "threads"}","mode_note":"$modeNote",""" +
+        f""""level_N":"${levelLo.label}","level_4N":"${levelHi.label}","peak_level":"${peakLevel.label}",""" +
+        f""""n_threads":${levelLo.totalCores},"n4_threads":${levelHi.totalCores},""" +
         f""""tN_sec":${mLo.wallSec}%.2f,"tN_docs_per_sec":${mLo.docsPerSec}%.1f,"tN_mb_per_sec":${mLo.mbPerSec}%.2f,""" +
         f""""t4N_sec":${mHi.wallSec}%.2f,"t4N_docs_per_sec":${mHi.docsPerSec}%.1f,"t4N_mb_per_sec":${mHi.mbPerSec}%.2f,""" +
         f""""tN_all_sec":${secs(allLo)},"t4N_all_sec":${secs(allHi)},""" +

@@ -669,18 +669,26 @@ object PdfLite {
     while (i < n) { in(i) = s.charAt(from + i).toByte; i += 1 }
     val inf = new java.util.zip.Inflater()
     inf.setInput(in)
-    val out = new java.io.ByteArrayOutputStream(math.min(InflateCap, n * 4 + 64))
-    val buf = new Array[Byte](8192)
+    // inflate straight into one growable array (no BAOS + scratch buffer —
+    // the old shape cost ~3 extra array copies per stream, and inflate runs
+    // once per content stream on the hot path)
+    var out = new Array[Byte](math.min(InflateCap, n * 4 + 64))
+    var len = 0
     try {
       var done = false
-      while (!done && out.size < InflateCap) {
-        val k = inf.inflate(buf)
-        if (k > 0) out.write(buf, 0, math.min(k, InflateCap - out.size))
-        else done = true
+      while (!done && len < InflateCap) {
+        if (len == out.length) {
+          val grown = new Array[Byte](math.min(InflateCap, out.length * 2))
+          System.arraycopy(out, 0, grown, 0, len)
+          out = grown
+        }
+        val k = inf.inflate(out, len, out.length - len)
+        if (k > 0) len += k
+        else done = true // matches the previous loop: any 0-byte round ends it
       }
     } catch { case _: java.util.zip.DataFormatException => /* keep partial */ }
     finally inf.end()
-    new String(out.toByteArray, Latin1)
+    new String(out, 0, len, Latin1)
   }
 
   /** Undo a `/DecodeParms /Predictor` pass after Flate/LZW decompression

@@ -211,6 +211,68 @@ final class Slicer(
     out
   }
 
+  /** Streaming twin of [[splitTextToColumns]] for the binner's hot path:
+    * emits each token straight to `binAdd(col, token)` instead of building
+    * the LinkedHashMap-of-ArrayBuffers + join. Byte-identical output: the
+    * per-column join with " " and the bin-level join with " " compose to the
+    * same string whether tokens arrive joined or one at a time, and columns
+    * are independent bins so emission order across columns is immaterial.
+    * The overlapping-column set of a span is CONTIGUOUS (`columns` is
+    * ascending), so it travels as the `[cLo, cHi]` range the caller already
+    * computed in its scalar span walk. Float accumulation order (currentX,
+    * pixelsPerChar) matches the reference exactly. */
+  private def splitTextInto(
+      text: String, leftX: Int, width: Int,
+      cLo: Int, cHi: Int, columns: Seq[Int],
+      binAdd: (Int, String) => Unit): Unit = {
+    // Py.split without the Vector: walk whitespace-delimited runs twice
+    // (once for the length sum, once to assign)
+    val n = text.length
+    var totalLength = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && Py.isSpace(text.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Py.isSpace(text.charAt(i))) i += 1
+      totalLength += i - start
+    }
+    if (totalLength == 0) return
+    val pixelsPerChar = width.toDouble / totalLength
+
+    var currentX: Double = leftX.toDouble
+    i = 0
+    while (i < n) {
+      while (i < n && Py.isSpace(text.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !Py.isSpace(text.charAt(i))) i += 1
+        val tokLen = i - start
+        val tokenWidth = tokLen * pixelsPerChar
+        val tokenCenter = currentX + tokenWidth / 2
+        var assigned = -1
+        var c = cLo
+        while (assigned < 0 && c <= cHi) {
+          if (columns(c) <= tokenCenter && tokenCenter < columns(c + 1)) assigned = c
+          c += 1
+        }
+        if (assigned < 0) {
+          // first minimal distance wins (CPython min stability), slicer.py:263-264
+          var bestCol = cLo
+          var bestDist = math.abs(tokenCenter - (columns(cLo) + columns(cLo + 1)) / 2.0)
+          c = cLo + 1
+          while (c <= cHi) {
+            val d = math.abs(tokenCenter - (columns(c) + columns(c + 1)) / 2.0)
+            if (d < bestDist) { bestDist = d; bestCol = c }
+            c += 1
+          }
+          assigned = bestCol
+        }
+        binAdd(assigned, text.substring(start, i))
+        currentX += tokenWidth
+      }
+    }
+  }
+
   /** G6 — column binning with splitting, slicer.py:274-376.
     * Returns mutable rows (padded by the caller, as in the reference). */
   def binIntoColumnsWithSplitting(
@@ -224,10 +286,19 @@ final class Slicer(
       return tableData
     }
     val numCols = columns.length - 1
+    // reused per row: bins as plain strings (" "-joined on append — byte-
+    // identical to the reference's per-bin list + ' '.join, since appends
+    // happen in the same left-to-right order), null = untouched bin. The
+    // previous shape allocated numCols ArrayBuffers + mkString builders per
+    // row; most bins hold 0 or 1 item, so plain concat allocates strictly
+    // less (ProfileAlloc: slice was the kernel's top allocator).
+    val colBins = new Array[String](numCols)
+    @inline def binAdd(c: Int, text: String): Unit =
+      colBins(c) = if (colBins(c) == null) text else colBins(c) + " " + text
 
     for (row <- rows) {
       val sortedRow = row.sortBy(_.x) // stable
-      val colBins = Array.fill(numCols)(mutable.ArrayBuffer.empty[String])
+      java.util.Arrays.fill(colBins.asInstanceOf[Array[AnyRef]], null)
 
       for (item <- sortedRow) {
         val text = Py.strip(item.text)
@@ -241,33 +312,46 @@ final class Slicer(
             var placed = false
             while (!placed && c < numCols) {
               if (columns(c) <= leftX && leftX < columns(c + 1)) {
-                colBins(c) += text; placed = true
+                binAdd(c, text); placed = true
               }
               c += 1
             }
             if (!placed) {
-              if (leftX < columns.head) colBins(0) += text
-              else if (leftX >= columns.last) colBins(numCols - 1) += text
+              if (leftX < columns.head) binAdd(0, text)
+              else if (leftX >= columns.last) binAdd(numCols - 1, text)
             }
           } else {
-            val (overlappingCols, overlapRatios) = calculateColumnSpans(leftX, width, columns)
-            val spansMultiple = overlappingCols.length > 1
+            // scalar span walk — the allocation-free twin of
+            // calculateColumnSpans for the dominant non-split path: tracks
+            // the overlap count, the first overlapping column, and the
+            // best-by-ratio column (strict >, so the FIRST max wins exactly
+            // like list.index(max), slicer.py:345-348)
+            val rightX = leftX + width
+            var nOverlap = 0
+            var bestCol = -1
+            var bestRatio = 0.0
+            var cFirst = -1
+            var cLast = -1
+            var c = 0
+            while (c < numCols) {
+              val overlap = math.max(0, math.min(rightX, columns(c + 1)) - math.max(leftX, columns(c)))
+              if (overlap > 0) {
+                val ratio = if (width > 0) overlap.toDouble / width else 0.0
+                if (bestCol < 0 || ratio > bestRatio) { bestCol = c; bestRatio = ratio }
+                if (nOverlap == 0) cFirst = c
+                cLast = c
+                nOverlap += 1
+              }
+              c += 1
+            }
             val splittable = if (enableTextSplitting) isSplittableText(text) else false
 
-            if (spansMultiple && splittable) {
-              // G5 split, slicer.py:322-337
-              val split = splitTextToColumns(text, leftX, width, overlappingCols, columns)
-              for ((col, colText) <- split) colBins(col) += colText
-            } else if (overlappingCols.nonEmpty) {
-              // single best column by max overlap ratio (first max wins,
-              // list.index(max) semantics), slicer.py:345-348
-              var bestIdx = 0
-              var i = 1
-              while (i < overlapRatios.length) {
-                if (overlapRatios(i) > overlapRatios(bestIdx)) bestIdx = i
-                i += 1
-              }
-              colBins(overlappingCols(bestIdx)) += text
+            if (nOverlap > 1 && splittable) {
+              // G5 split, slicer.py:322-337 — streamed token-by-token
+              // (overlapping cols are the contiguous range [cFirst, cLast])
+              splitTextInto(text, leftX, width, cFirst, cLast, columns, binAdd)
+            } else if (nOverlap > 0) {
+              binAdd(bestCol, text)
             } else {
               // no overlap → positional fallback (no edge clamp here),
               // slicer.py:355-359
@@ -275,7 +359,7 @@ final class Slicer(
               var placed = false
               while (!placed && c < numCols) {
                 if (columns(c) <= leftX && leftX < columns(c + 1)) {
-                  colBins(c) += text; placed = true
+                  binAdd(c, text); placed = true
                 }
                 c += 1
               }
@@ -283,7 +367,10 @@ final class Slicer(
           }
         }
       }
-      tableData += mutable.ArrayBuffer.from(colBins.map(_.mkString(" ")))
+      val out = new mutable.ArrayBuffer[String](numCols)
+      var c = 0
+      while (c < numCols) { out += (if (colBins(c) == null) "" else colBins(c)); c += 1 }
+      tableData += out
     }
     tableData
   }
