@@ -81,6 +81,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ExtractDocExpr].getName, "extract_doc"),
       (exprs: Seq[Expression]) => ExtractDocExpr(exprs)))
     ext.injectFunction((
+      FunctionIdentifier("extract_pages"),
+      new ExpressionInfo(classOf[ExtractPagesExpr].getName, "extract_pages"),
+      (exprs: Seq[Expression]) => ExtractPagesExpr(exprs)))
+    ext.injectFunction((
       FunctionIdentifier("sim_ratio"),
       new ExpressionInfo(classOf[SimRatio].getName, "sim_ratio"),
       (exprs: Seq[Expression]) => {

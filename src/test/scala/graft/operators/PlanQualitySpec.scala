@@ -102,6 +102,14 @@ class PlanQualitySpec extends SparkTestBase {
       s"as-of degenerated to a product join:\n$p")
   }
 
+  test("q43_csv_render: builtin-expression render — no UDF, top-k as TakeOrdered") {
+    val p = plan("q43_csv_render")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      s"CSV render fell back to a UDF:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ordered limit plans a full sort:\n$p")
+  }
+
   test("bucketed tables co-locate the join: no Exchange on either side") {
     import org.apache.spark.sql.functions._
     // the 100 TB co-located-join story: two tables bucketed on the join key

@@ -126,4 +126,22 @@ class ExtractE2ESpec extends SparkTestBase {
     viaSql.foreach { case (url, t) => assert(t == oracle(url).extractedText, url) }
     assert(viaSql.size == 40)
   }
+
+  test("extract_pages and sim_ratio are SQL-callable via GraftExtensions") {
+    import spark.implicits._
+    val pages = ExtractPipeline.pages(spark, 40).toDF()
+    pages.createOrReplaceTempView("pages_ext_spec")
+    // extract_pages: page 1's text equals the whole-document extraction for
+    // every non-failed doc (the same invariant the kernel spec pins)
+    val firstPages = spark.sql(
+      """SELECT url, pg.text AS t FROM pages_ext_spec
+        |LATERAL VIEW explode(extract_pages(url, html, text, lang)) AS pg
+        |WHERE pg.page = 1""".stripMargin)
+      .as[(String, String)].collect().toMap
+    assert(firstPages.nonEmpty)
+    firstPages.foreach { case (url, t) => assert(t == oracle(url).extractedText, url) }
+    // sim_ratio: difflib-pinned value usable straight from SQL
+    val r = spark.sql("SELECT sim_ratio('newark', 'newrak')").head().getDouble(0)
+    assert(math.abs(r - 0.8333333333333334) < 1e-12, r.toString)
+  }
 }
