@@ -64,15 +64,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m.format == "png" && m.failure == "decode_error")
   }
 
-  test("blob generator mixes real image formats with GMB audio/video") {
-    val metas = (0L until 200L).map(i => Multimodal.decode(i, Multimodal.blob(i)))
+  test("hand-built WAV decodes to exact rate, frames, channels and sample means") {
+    // canonical 44-byte header + 4 stereo PCM16 frames with known samples
+    val ch = 2; val rate = 16000; val frames = 4
+    val samples = Array[Short](100, -200, 300, -400, 500, -600, 700, -800)
+    val b = new Array[Byte](44 + samples.length * 2)
+    def tag(at: Int, t: String): Unit = t.zipWithIndex.foreach { case (c, k) => b(at + k) = c.toByte }
+    def le32(at: Int, v: Int): Unit = (0 until 4).foreach(k => b(at + k) = ((v >> (8 * k)) & 0xff).toByte)
+    def le16(at: Int, v: Int): Unit = (0 until 2).foreach(k => b(at + k) = ((v >> (8 * k)) & 0xff).toByte)
+    tag(0, "RIFF"); le32(4, 36 + samples.length * 2); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, ch); le32(24, rate)
+    le32(28, rate * ch * 2); le16(32, ch * 2); le16(34, 16)
+    tag(36, "data"); le32(40, samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, k) => le16(44 + 2 * k, s & 0xffff) }
+    val m = Multimodal.decode(10, b)
+    assert(m.failure.isEmpty && m.format == "wav")
+    assert(m.width == rate && m.height == frames && m.channels == ch)
+    // channel 0: (100+300+500+700)/4 = 400; channel 1: (-200-400-600-800)/4 = -500
+    assert(m.features == Vector(400.0, -500.0))
+  }
+
+  test("non-PCM WAV lands in unsupported_codec, truncated RIFF never throws") {
+    val wav = Multimodal.blob((0L until 500L).find(i =>
+      Multimodal.decode(i, Multimodal.blob(i)).format == "wav").get)
+    val mulaw = wav.clone(); mulaw(20) = 7 // audioFormat = mu-law
+    assert(Multimodal.decode(11, mulaw).failure == "unsupported_codec")
+    val m = Multimodal.decode(12, wav.take(20))
+    assert(m.format == "wav" && m.failure == "decode_error")
+  }
+
+  test("blob generator mixes real images with real WAV/AVI containers") {
+    val metas = (0L until 300L).map(i => Multimodal.decode(i, Multimodal.blob(i)))
     val byFormat = metas.groupBy(_.format)
-    for (f <- Seq("png", "jpeg", "bmp", "audio", "video"))
+    for (f <- Seq("png", "jpeg", "bmp", "wav", "avi", "image"))
       assert(byFormat.contains(f), s"format $f missing from the blob mix")
     // every real-image payload decodes cleanly with raster-backed metadata
     metas.filter(m => Set("png", "jpeg", "bmp")(m.format)).foreach { m =>
       assert(m.failure.isEmpty && m.width >= 8 && m.height >= 8 &&
         m.features.length == m.channels)
     }
+    // every WAV decodes cleanly: real sample means per channel
+    val wavs = byFormat("wav")
+    assert(wavs.forall(m => m.failure.isEmpty && m.width >= 8000 &&
+      m.height >= 64 && m.features.length == m.channels))
+    // every AVI parses its MainAVIHeader
+    val avis = byFormat("avi")
+    assert(avis.forall(m => m.failure.isEmpty && m.width >= 64 &&
+      m.height >= 64 && m.channels >= 1 && m.features.length == m.channels))
   }
 }
