@@ -4,11 +4,15 @@
 Usage: merge_bench_local.py <full_run.log> [scaling_only.log ...]
 
 Takes the headline/query/pass-rate sections from the FIRST log's JSON line
-and the extract_scaling section from whichever log's scaling block has the
-most clean pairs (both reps within 2x their level minimum) — i.e. the run
-that actually escaped the VM's degraded windows. All candidate scaling
-blocks are preserved under "scaling_runs_considered" so the record shows
-what was measured, not just what was picked.
+and the extract_scaling section from the candidate whose independent
+estimators AGREE most: first the most clean pairs (both reps within 2x
+their level minimum), then the smallest |best-of - trimmed-pair| gap.
+Best-of and pair-median measure the same quantity through different noise
+paths, so their agreement marks the run that escaped the VM's degraded
+windows — and the criterion is symmetric (disagreement can inflate or
+deflate the best-of), so it cannot select FOR a high number. All candidate
+scaling blocks are preserved under "scaling_runs_considered" so the record
+shows what was measured, not just what was picked.
 """
 import json, re, sys
 
@@ -40,10 +44,15 @@ def main():
         if sc:
             candidates.append((p, sc))
     if candidates:
+        def agreement_gap(sc):
+            trimmed = sc.get("pair_eff_trimmed")
+            if trimmed is None:
+                return 1e9
+            return abs(sc["scaling_efficiency"] - trimmed)
+
         ranked = sorted(
             candidates,
-            key=lambda c: (clean_pairs(c[1]), c[1]["t4N_docs_per_sec"]),
-            reverse=True)
+            key=lambda c: (-clean_pairs(c[1]), agreement_gap(c[1])))
         picked_path, picked = ranked[0]
         picked = dict(picked)
         picked["picked_from"] = picked_path
