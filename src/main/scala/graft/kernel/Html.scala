@@ -118,7 +118,9 @@ object Html {
             val body = if (selfClose) raw.dropRight(1) else raw
             val (name, attrs) = parseTag(body)
             if (name.nonEmpty) {
-              val el = Elem(name, attrs, mutable.ArrayBuffer.empty)
+              // most nodes are leaves or near-leaves: a 16-slot default
+              // backing array per element was ~10 kB/doc of dead weight
+              val el = Elem(name, attrs, new mutable.ArrayBuffer(2))
               topChildren += el
               if (name == "script" || name == "style") {
                 // raw text element: skip to the matching close tag

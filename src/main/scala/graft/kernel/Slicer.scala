@@ -295,12 +295,24 @@ final class Slicer(
     val colBins = new Array[String](numCols)
     @inline def binAdd(c: Int, text: String): Unit =
       colBins(c) = if (colBins(c) == null) text else colBins(c) + " " + text
+    // reusable scratch for the per-row x-sort: java.util.Arrays.sort on
+    // objects is TimSort — stable exactly like Vector.sortBy/CPython sorted
+    var scratch = new Array[TextItem](16)
+    val byX: java.util.Comparator[TextItem] =
+      (a: TextItem, b: TextItem) => Integer.compare(a.x, b.x)
 
     for (row <- rows) {
-      val sortedRow = row.sortBy(_.x) // stable
+      val m = row.length
+      if (scratch.length < m) scratch = new Array[TextItem](m * 2)
+      var si = 0
+      row.foreach { it => scratch(si) = it; si += 1 }
+      java.util.Arrays.sort(scratch, 0, m, byX)
       java.util.Arrays.fill(colBins.asInstanceOf[Array[AnyRef]], null)
 
-      for (item <- sortedRow) {
+      var ri = 0
+      while (ri < m) {
+        val item = scratch(ri)
+        ri += 1
         val text = Py.strip(item.text)
         if (text.nonEmpty) {
           val leftX = item.x
