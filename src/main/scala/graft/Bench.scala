@@ -26,18 +26,8 @@ import graft.spark.{ExtractJob, ExtractPipeline}
   */
 object Bench {
 
-  private def session(threads: Int): SparkSession = {
-    val s = SparkSession.builder()
-      .master(s"local[$threads]")
-      .appName(s"graft-bench-$threads")
-      .config("spark.sql.shuffle.partitions", threads)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("ERROR")
-    s
-  }
+  private def session(threads: Int): SparkSession =
+    sessionFor(Level.threads(threads))
 
   /** Materialize the deterministic corpus as a parquet table ONCE (untimed,
     * full parallelism). The timed job then reads it like production reads the

@@ -39,7 +39,8 @@ object Multimodal {
     * extraction failure-taxonomy convention (never throw in the data plane). */
   final case class MediaMeta(
       mediaId: Long,
-      format: String,   // "png" | "jpeg" | "bmp" | "image" | "audio" | "video" | "unknown"
+      format: String,   // "png" | "jpeg" | "bmp" | "wav" | "avi" | "image" | "audio" | "video" | "unknown"
+                        // ("audio"/"video" only from legacy GMB containers)
       width: Int,
       height: Int,
       channels: Int,
@@ -228,8 +229,11 @@ object Multimodal {
     var dataAt = -1; var dataLen = 0
     while (at + 8 <= b.length) {
       val len = r32(b, at + 4)
-      if (len < 0) return MediaMeta(mediaId, "wav", 0, 0, 0, b.length.toLong,
-        Vector.empty, "decode_error")
+      // a declared length beyond the payload is corrupt; it would also
+      // overflow `at` into negative territory and break the walk's bounds
+      if (len < 0 || len > b.length)
+        return MediaMeta(mediaId, "wav", 0, 0, 0, b.length.toLong,
+          Vector.empty, "decode_error")
       if (tagAt(b, at, "fmt ") && at + 8 + 16 <= b.length) {
         codec = r16(b, at + 8); ch = r16(b, at + 10)
         rate = r32(b, at + 12); bits = r16(b, at + 22)
@@ -269,8 +273,10 @@ object Multimodal {
     var moviAt = -1; var moviLen = 0
     while (at + 8 <= b.length) {
       val len = r32(b, at + 4)
-      if (len < 0) return MediaMeta(mediaId, "avi", 0, 0, 0, b.length.toLong,
-        Vector.empty, "decode_error")
+      // same corrupt-length/overflow guard as the WAV walk
+      if (len < 0 || len > b.length)
+        return MediaMeta(mediaId, "avi", 0, 0, 0, b.length.toLong,
+          Vector.empty, "decode_error")
       if (tagAt(b, at, "LIST") && at + 12 <= b.length) {
         if (tagAt(b, at + 8, "movi")) {
           // record the payload and SKIP it — frame bytes are not chunks

@@ -61,9 +61,12 @@ final class ParquetTableIO(outDir: String) extends TableIO {
   * "Excel formatting" analog: dropped by the degraded format, by design.
   *
   * The fallback commit is durable (`_SUCCESS`-gated, like the primary):
-  * `readDocs` serves the CSV table whenever one committed, so the job's
-  * lineage rollup — which only needs flat columns — and a later inspection
-  * read work unchanged. Lineage stays on the primary backend (the reference
+  * once a CSV table committed, `readDocs` serves the UNION of the primary
+  * table (projected to the same degraded flat shape) and the CSV table —
+  * a resumed job may have committed some buckets to each backend across
+  * runs, and no committed bucket may vanish from reads. The job's lineage
+  * rollup — which only needs flat columns — and a later inspection read
+  * work unchanged. Lineage stays on the primary backend (the reference
   * falls back for the table artifact only, not its bookkeeping).
   */
 final class CsvFallbackTableIO(primary: TableIO, csvPath: String) extends TableIO {
@@ -113,14 +116,27 @@ final class CsvFallbackTableIO(primary: TableIO, csvPath: String) extends TableI
     }
 
   override def readDocs(spark: SparkSession): DataFrame =
-    if (csvCommitted(spark))
-      spark.read.schema(flatSchema)
+    if (!csvCommitted(spark)) primary.readDocs(spark)
+    else {
+      val csv = spark.read.schema(flatSchema)
         .option("escape", "\"").option("multiLine", "true")
         .csv(csvPath)
         // CSV writes empty strings as empty fields, read back as null
         .na.fill("", Seq("url", "route", "vendor", "failure", "grid_csv"))
         .withColumn("bucket", col("bucket").cast("long"))
-    else primary.readDocs(spark)
+      // A RESUMED job may have committed some buckets to the primary in an
+      // earlier run and degraded to CSV only later (or vice versa) — serve
+      // the union of both tables in the degraded flat projection, not just
+      // the CSV side, so no committed bucket ever vanishes from reads.
+      val fromPrimary =
+        try Some(primary.readDocs(spark).select(
+          col("url"), col("route"), col("vendor"), col("failure"),
+          col("nItems"), col("nPages"), col("nBytes"),
+          graft.functions.CsvGrid.column(col("cells")).as("grid_csv"),
+          col("bucket")))
+        catch { case scala.util.control.NonFatal(_) => None } // no primary table
+      fromPrimary.map(_.unionByName(csv)).getOrElse(csv)
+    }
 
   override def appendLineage(lineage: DataFrame): Unit = primary.appendLineage(lineage)
   override def lineageExists(spark: SparkSession): Boolean = primary.lineageExists(spark)

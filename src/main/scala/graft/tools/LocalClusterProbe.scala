@@ -24,7 +24,7 @@ object LocalClusterProbe {
       graft.spark.ExtractPipeline.pages(spark, n).toDF())
     val cnt = df.count()
     val execs = spark.sparkContext.getExecutorMemoryStatus.keySet
-    println(s"[probe] docs=$cnt in ${(System.nanoTime()-t0)/1e9}%s sec; executors=${execs.size} -> $execs")
+    println(f"[probe] docs=$cnt in ${(System.nanoTime()-t0)/1e9}%.1f sec; executors=${execs.size} -> $execs")
     spark.stop()
   }
 }

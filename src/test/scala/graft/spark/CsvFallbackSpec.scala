@@ -78,6 +78,52 @@ class CsvFallbackSpec extends SparkTestBase {
     assert(nonEmpty > 50, s"battery too trivial: only $nonEmpty non-empty grids")
   }
 
+  test("resume across backends: reads union primary-committed and CSV-committed buckets") {
+    val dir = tmp()
+    val inner = new ParquetTableIO(s"$dir/t")
+    var failNow = false
+    val toggling = new TableIO {
+      override def writeDocs(docs: DataFrame): Unit =
+        if (failNow) throw new RuntimeException("synthetic failure after resume")
+        else inner.writeDocs(docs)
+      override def appendLineage(l: DataFrame): Unit = inner.appendLineage(l)
+      override def readDocs(s: org.apache.spark.sql.SparkSession): DataFrame = inner.readDocs(s)
+      override def lineageExists(s: org.apache.spark.sql.SparkSession): Boolean = inner.lineageExists(s)
+      override def readLineage(s: org.apache.spark.sql.SparkSession): DataFrame = inner.readLineage(s)
+    }
+    val io = new CsvFallbackTableIO(toggling, s"$dir/csv")
+    // the unit under test is the TableIO read path when different RUNS of a
+    // job committed to different backends — drive writeDocs directly with
+    // the same docs shape ExtractJob produces (extract_doc + bucket)
+    val pages = ExtractJob.withBucket(ExtractPipeline.pages(spark, NDocs).toDF(), NBuckets)
+    val docs = pages
+      .select(graft.functions.ExtractDocExpr
+        .extractDoc(col("url"), col("html"), col("text"), col("lang")).as("doc"),
+        col("bucket"))
+      .select(col("doc.*"), col("bucket"))
+    // run 1: healthy primary commits the even buckets, then "crashes"
+    io.writeDocs(docs.filter(col("bucket") % 2 === 0))
+    val primaryCount = inner.readDocs(spark).count()
+    assert(primaryCount > 0)
+    // run 2: the odd buckets arrive, but the primary now fails → CSV
+    failNow = true
+    io.writeDocs(docs.filter(col("bucket") % 2 === 1))
+    // reads must serve BOTH halves — nothing committed may vanish
+    val back = io.readDocs(spark)
+    assert(back.count() == NDocs,
+      s"union read lost rows: ${back.count()} != $NDocs (primary had $primaryCount)")
+    assert(back.select("url").distinct().count() == NDocs)
+    // the primary-side rows surface the same degraded flat shape, and their
+    // grid_csv equals the kernel render
+    val gotCsv = back.select("url", "grid_csv").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    (0L until NDocs).foreach { i =>
+      val p = Corpus.page(i)
+      val d = Extractor.extract(p.url, p.html, p.text, p.lang)
+      assert(gotCsv(p.url) == Csv.render(d.cells), s"idx $i")
+    }
+  }
+
   test("healthy primary: no CSV table is written, reads serve the primary") {
     val dir = tmp()
     val pages = ExtractPipeline.pages(spark, 50L).toDF()

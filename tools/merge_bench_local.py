@@ -74,8 +74,9 @@ def main():
                  "tN_sec": sc["tN_sec"], "t4N_sec": sc["t4N_sec"]}
                 for p, sc in candidates]
     json.dump(base, open("BENCH_LOCAL.json", "w"), indent=1)
+    sc = base.get("extract_scaling")
     print("BENCH_LOCAL.json written;",
-          "scaling from", base["extract_scaling"].get("picked_from"))
+          "scaling from", sc.get("picked_from") if sc else "<none>")
 
 
 if __name__ == "__main__":
