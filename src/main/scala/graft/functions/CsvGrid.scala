@@ -17,11 +17,15 @@ object CsvGrid {
   def column(cells: Column): Column = {
     // pandas quotes a lone empty field only in single-column frames
     val singleCol = size(cells) > 0 && size(element_at(cells, 1)) === 1
-    def fld(c: Column): Column =
+    def fld(c0: Column): Column = {
+      // null cells render as empty fields (Csv.render pads missing cells);
+      // without this, array_join would silently drop the element AND its comma
+      val c = coalesce(c0, lit(""))
       when((singleCol && c === "") ||
            c.contains(",") || c.contains("\"") || c.contains("\n"),
         concat(lit("\""), replace(c, lit("\""), lit("\"\"")), lit("\"")))
         .otherwise(c)
+    }
     val rows = transform(cells, row => array_join(transform(row, fld(_)), ","))
     when(size(cells) === 0, lit(""))
       .otherwise(concat(array_join(rows, "\n"), lit("\n")))

@@ -224,10 +224,13 @@ object Multimodal {
     * modality, documented in the column contract). Non-PCM or non-16-bit
     * audio lands in the failure taxonomy as `unsupported_codec`. */
   private def decodeWav(mediaId: Long, b: Array[Byte]): MediaMeta = {
-    var at = 12
+    // Long cursor: `at + 8 + len` can exceed Int.MaxValue on a multi-GB
+    // payload even when len itself passes the <= b.length guard
+    var atL = 12L
     var ch = 0; var rate = 0; var bits = 0; var codec = 0
     var dataAt = -1; var dataLen = 0
-    while (at + 8 <= b.length) {
+    while (atL + 8 <= b.length) {
+      val at = atL.toInt
       val len = r32(b, at + 4)
       // a declared length beyond the payload is corrupt; it would also
       // overflow `at` into negative territory and break the walk's bounds
@@ -240,7 +243,7 @@ object Multimodal {
       } else if (tagAt(b, at, "data")) {
         dataAt = at + 8; dataLen = math.min(len, b.length - dataAt)
       }
-      at += 8 + len + (len & 1) // RIFF chunks are word-aligned
+      atL += 8L + len + (len & 1) // RIFF chunks are word-aligned
     }
     if (ch <= 0 || dataAt < 0)
       return MediaMeta(mediaId, "wav", 0, 0, 0, b.length.toLong,
@@ -268,10 +271,11 @@ object Multimodal {
     * per-stream byte means over the `movi` payload as the feature stand-in
     * for the still-opaque compressed frames. */
   private def decodeAvi(mediaId: Long, b: Array[Byte]): MediaMeta = {
-    var at = 12
+    var atL = 12L // Long cursor — same overflow rationale as decodeWav
     var w = 0; var h = 0; var streams = 0; var frames = -1
     var moviAt = -1; var moviLen = 0
-    while (at + 8 <= b.length) {
+    while (atL + 8 <= b.length) {
+      val at = atL.toInt
       val len = r32(b, at + 4)
       // same corrupt-length/overflow guard as the WAV walk
       if (len < 0 || len > b.length)
@@ -281,15 +285,15 @@ object Multimodal {
         if (tagAt(b, at + 8, "movi")) {
           // record the payload and SKIP it — frame bytes are not chunks
           moviAt = at + 12; moviLen = math.max(0, math.min(len - 4, b.length - moviAt))
-          at += 8 + len + (len & 1)
-        } else at += 12 // descend into hdrl-style LIST bodies
+          atL += 8L + len + (len & 1)
+        } else atL += 12 // descend into hdrl-style LIST bodies
       } else {
         if (tagAt(b, at, "avih") && at + 8 + 56 <= b.length) {
           frames = r32(b, at + 8 + 16)
           streams = r32(b, at + 8 + 24)
           w = r32(b, at + 8 + 32); h = r32(b, at + 8 + 36)
         }
-        at += 8 + len + (len & 1)
+        atL += 8L + len + (len & 1)
       }
     }
     if (streams <= 0 || frames < 0)

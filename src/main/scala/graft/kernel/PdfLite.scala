@@ -716,16 +716,21 @@ object PdfLite {
       }
       return new String(out, Latin1)
     }
-    // PNG family: rows of 1 + rowLen
+    // PNG family: rows of 1 + rowLen; a truncated final row (filter byte +
+    // fewer than rowLen data bytes) decodes as far as the data extends
     val nRows = data.length / (1 + rowLen)
-    val out = new Array[Byte](nRows * rowLen)
+    val tailData = math.max(0, data.length - nRows * (1 + rowLen) - 1)
+    val outLen = nRows * rowLen + tailData
+    val out = new Array[Byte](outLen)
+    val totalRows = nRows + (if (tailData > 0) 1 else 0)
     var row = 0
-    while (row < nRows) {
+    while (row < totalRows) {
+      val thisLen = if (row < nRows) rowLen else tailData
       val ft = data.charAt(row * (1 + rowLen)) & 0xff
       val src = row * (1 + rowLen) + 1
       val dst = row * rowLen
       var j = 0
-      while (j < rowLen) {
+      while (j < thisLen) {
         val raw = data.charAt(src + j) & 0xff
         val left = if (j >= bpp) out(dst + j - bpp).toInt & 0xff else 0
         val up = if (row > 0) out(dst - rowLen + j).toInt & 0xff else 0
@@ -746,7 +751,7 @@ object PdfLite {
       }
       row += 1
     }
-    new String(out, 0, nRows * rowLen, Latin1)
+    new String(out, 0, outLen, Latin1)
   }
 
   /** `/DecodeParms` (or `/DP`) predictor application for a stream dict. */

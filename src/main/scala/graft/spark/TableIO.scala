@@ -128,12 +128,17 @@ final class CsvFallbackTableIO(primary: TableIO, csvPath: String) extends TableI
       // earlier run and degraded to CSV only later (or vice versa) — serve
       // the union of both tables in the degraded flat projection, not just
       // the CSV side, so no committed bucket ever vanishes from reads.
+      // A bucket present in BOTH tables (primary commit in one run, then a
+      // non-resume rerun degraded the same bucket to CSV) must be served
+      // once: the CSV copy is the later write, so it shadows the primary's.
       val fromPrimary =
         try Some(primary.readDocs(spark).select(
           col("url"), col("route"), col("vendor"), col("failure"),
           col("nItems"), col("nPages"), col("nBytes"),
           graft.functions.CsvGrid.column(col("cells")).as("grid_csv"),
-          col("bucket")))
+          col("bucket"))
+          .join(broadcast(csv.select("bucket").distinct()),
+            Seq("bucket"), "left_anti"))
         catch { case scala.util.control.NonFatal(_) => None } // no primary table
       fromPrimary.map(_.unionByName(csv)).getOrElse(csv)
     }
