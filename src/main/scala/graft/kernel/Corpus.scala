@@ -22,7 +22,7 @@ object Corpus {
     * the constant is folded into [[graft.operators.ExtractOps]]'s corpus-cache
     * fingerprint, so bumping it invalidates every materialized corpus cache
     * even if the hashed sample pages happen to be byte-identical. */
-  val GeneratorVersion = 7
+  val GeneratorVersion = 8
 
   final case class PageRow(url: String, warc_ts: java.sql.Timestamp,
                            html: Array[Byte], text: String, lang: String)
@@ -177,7 +177,10 @@ object Corpus {
       // writer default), ~5% /Rotate 90/180/270 pages, ~8% Identity-H
       // composite fonts (2-byte CID codes + /ToUnicode, the CJK/subset-font
       // reality), ~12% page bodies behind Form XObjects invoked via Do
-      // (letterhead/stamp layouts) — all deterministic draws of the per-doc
+      // (letterhead/stamp layouts), ~8% /Encoding dicts with /Differences
+      // arrays over a WinAnsi base (the subset-font encoding override
+      // mechanism), and ~60% of scanned docs carry a REAL JPEG image
+      // XObject behind /DCTDecode — all deterministic draws of the per-doc
       // rng
       val nPages = if (rng.nextInt(8) == 0) 2 + rng.nextInt(3) else 1
       val basePages = (1 to nPages).map(_ =>
@@ -187,23 +190,32 @@ object Corpus {
       val hexEvery = if (rng.nextInt(4) == 0) 4 else 0
       val xrefDraw = rng.nextInt(10) // 0-1 classic table, 2-3 xref stream
       val objStm = rng.nextInt(6) == 0
-      val encDraw = rng.nextInt(12)  // 0-1 WinAnsi, 2 ToUnicode, 3 Identity-H CID
+      // 0-1 WinAnsi, 2 ToUnicode, 3 Identity-H CID, 4 Differences-over-WinAnsi
+      val encDraw = rng.nextInt(12)
       val hexArmor = rng.nextInt(12) == 0
       val winAnsi = encDraw <= 1
       val toUnicode = encDraw == 2
       val cid = encDraw == 3
+      val differences = encDraw == 4
       val lzw = !compress && rng.nextInt(10) == 0
       val predictor = rng.nextInt(2) == 0 // applies only with an xref STREAM
       val rotate =
         if (rng.nextInt(20) == 0) 90 * (1 + rng.nextInt(3)) else 0
       val formX = rng.nextInt(8) == 0
+      // ~60% of scanned docs carry real JPEG pixels behind /DCTDecode
+      val dctImage =
+        if (scanned && rng.nextInt(5) < 3) {
+          val w = 96 + rng.nextInt(64)
+          val h = 128 + rng.nextInt(64)
+          Some(PdfLite.JpegImage(Multimodal.jpegBlob(rng, w, h), w, h))
+        } else None
       val pageSpecs =
-        if (!winAnsi && !toUnicode && !cid) basePages
+        if (!winAnsi && !toUnicode && !cid && !differences) basePages
         else basePages.map { ps =>
           // a memo line the default Latin-1 writer cannot carry — proves the
           // font-decoding path end-to-end (serialized bytes ≠ the text)
           val memoText =
-            if (winAnsi) s"mémo — “net €${1 + rng.nextInt(999)}”"
+            if (winAnsi || differences) s"mémo — “net €${1 + rng.nextInt(999)}”"
             else if (cid) s"合計 ¥${1 + rng.nextInt(9999)} 税込 — 経理部"
             else s"σύνολο αβγ — Ω${1 + rng.nextInt(999)}"
           ps.copy(runs = ps.runs :+ PdfLite.Run(40, 1185, 9, memoText))
@@ -213,7 +225,8 @@ object Corpus {
         xref = xrefDraw <= 1, objStm = objStm, winAnsi = winAnsi,
         toUnicode = toUnicode, xrefStream = xrefDraw == 2 || xrefDraw == 3,
         hexArmor = hexArmor, lzw = lzw, predictor = predictor,
-        rotate = rotate, cid = cid, form = formX)
+        rotate = rotate, cid = cid, form = formX,
+        differences = differences, dctImage = dctImage)
       val text =
         if (scanned) "" // forces the scanned route (detect: no meaningful text)
         else pageSpecs.flatMap(_.runs).map(_.text).mkString(" ")

@@ -39,8 +39,10 @@ object Multimodal {
     * extraction failure-taxonomy convention (never throw in the data plane). */
   final case class MediaMeta(
       mediaId: Long,
-      format: String,   // "png" | "jpeg" | "bmp" | "wav" | "avi" | "image" | "audio" | "video" | "unknown"
-                        // ("audio"/"video" only from legacy GMB containers)
+      format: String,   // "png" | "jpeg" | "bmp" | "wav" | "avi" | "mp3" | "h264"
+                        // | "image" | "audio" | "video" | "unknown"
+                        // ("audio"/"video" only from legacy GMB containers,
+                        // which survive solely as the unknown-container fixture)
       width: Int,
       height: Int,
       channels: Int,
@@ -87,6 +89,20 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Deterministic JPEG blob for [[PdfLite.writeDoc]]'s `/DCTDecode` image
+    * XObjects — the scanned-page dialect where the page image carries real
+    * JPEG bytes. Same codec kernel (`javax.imageio`) both directions, so the
+    * PDF image path and the standalone image path share one decoder. */
+  private[kernel] def jpegBlob(rng: java.util.Random, w: Int, h: Int): Array[Byte] =
+    encodeImage(rgbImage(rng, w, h), "jpg")
+
+  /** Raster dims of an image payload iff the JDK codec actually decodes it
+    * (None on corrupt/unsupported bytes, never throws). */
+  private[kernel] def imageDims(bytes: Array[Byte]): Option[(Int, Int)] =
+    try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+      .map(img => (img.getWidth, img.getHeight))
+    catch { case _: Exception => None }
+
   /** GMB container: 3-byte magic, format code, u16 width/height, u8 channels,
     * then a pseudo-random payload. */
   private def gmbBlob(rng: java.util.Random, fmt: Int): Array[Byte] = {
@@ -103,6 +119,139 @@ object Multimodal {
     var j = 9
     while (j < out.length) { out(j) = rng.nextInt(256).toByte; j += 1 }
     out
+  }
+
+  // ---- MPEG-1 Layer III frame stream (ISO/IEC 11172-3 §2.4.1.3) ----
+  // kbit/s by bitrate_index for MPEG-1 Layer III (index 0 = free, 15 = bad)
+  private val Mp3Bitrates = Array(0, 32, 40, 48, 56, 64, 80, 96,
+    112, 128, 160, 192, 224, 256, 320, 0)
+  private val Mp3Rates = Array(44100, 48000, 32000, 0)
+
+  /** Real MPEG-1 Layer III frame headers (sync + version/layer/bitrate/rate/
+    * channel-mode bits, spec frame-length stride) over rng filler payloads,
+    * optionally behind an ID3v2 tag — enough structure for any compliant
+    * header walk; the audio payload itself stays opaque (no JDK mp3 codec). */
+  private def mp3Blob(rng: java.util.Random): Array[Byte] = {
+    val brIdx = 1 + rng.nextInt(14)
+    val srIdx = rng.nextInt(3)
+    val mode = rng.nextInt(4) // 0 stereo, 1 joint, 2 dual, 3 mono
+    val nFrames = 4 + rng.nextInt(9)
+    val out = new ByteArrayOutputStream(2048)
+    if (rng.nextBoolean()) {
+      // ID3v2 header: "ID3", version 3.0, flags 0, syncsafe payload size
+      val tagLen = 16 + rng.nextInt(64)
+      out.write('I'); out.write('D'); out.write('3')
+      out.write(3); out.write(0); out.write(0)
+      out.write((tagLen >> 21) & 0x7f); out.write((tagLen >> 14) & 0x7f)
+      out.write((tagLen >> 7) & 0x7f); out.write(tagLen & 0x7f)
+      var k = 0
+      while (k < tagLen) { out.write(rng.nextInt(256)); k += 1 }
+    }
+    val frameLen = 144 * Mp3Bitrates(brIdx) * 1000 / Mp3Rates(srIdx) // padding 0
+    var f = 0
+    while (f < nFrames) {
+      out.write(0xff); out.write(0xfb) // sync + MPEG-1 (11) + Layer III (01) + no CRC
+      out.write((brIdx << 4) | (srIdx << 2)) // padding 0, private 0
+      out.write(mode << 6)
+      var k = 4
+      while (k < frameLen) {
+        // nextInt(255) never yields 0xFF — filler cannot fake a frame sync
+        out.write(rng.nextInt(255))
+        k += 1
+      }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  // ---- H.264 Annex-B byte stream (ITU-T H.264 §7.3.2.1 SPS) ----
+
+  /** MSB-first bit writer with exp-Golomb ue(v) (H.264 §9.1). */
+  private final class BitWriter {
+    private val buf = new ByteArrayOutputStream(32)
+    private var cur = 0
+    private var nBits = 0
+    def u(v: Int, bits: Int): Unit = {
+      var k = bits - 1
+      while (k >= 0) {
+        cur = (cur << 1) | ((v >> k) & 1)
+        nBits += 1
+        if (nBits == 8) { buf.write(cur); cur = 0; nBits = 0 }
+        k -= 1
+      }
+    }
+    def ue(v: Int): Unit = {
+      val code = v + 1
+      val len = 32 - Integer.numberOfLeadingZeros(code)
+      u(0, len - 1); u(code, len)
+    }
+    /** rbsp_stop_one_bit + zero padding to a byte boundary. */
+    def stop(): Array[Byte] = { u(1, 1); if (nBits > 0) u(0, 8 - nBits); buf.toByteArray }
+  }
+
+  /** Emulation-prevention escape: 00 00 {00,01,02,03} → 00 00 03 xx
+    * (H.264 §7.4.1.1), applied to RBSP bytes before they hit the stream. */
+  private def escapeRbsp(rbsp: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(rbsp.length + 4)
+    var zeros = 0
+    for (b <- rbsp) {
+      if (zeros >= 2 && (b & 0xff) <= 3) { out.write(3); zeros = 0 }
+      out.write(b & 0xff)
+      zeros = if (b == 0) zeros + 1 else 0
+    }
+    out.toByteArray
+  }
+
+  /** Annex-B stream: start-coded SPS (real exp-Golomb geometry) + PPS + a
+    * few opaque slice NALs — real headers, undecodable picture payload,
+    * exactly what a crawl's video attachments look like to a JDK-only
+    * pipeline. */
+  private def h264Blob(rng: java.util.Random): Array[Byte] = {
+    val wMbs = 1 + rng.nextInt(80)  // 16..1280 px wide
+    val hMbs = 1 + rng.nextInt(45)  // 16..720 px tall
+    val nSlices = 1 + rng.nextInt(6)
+    val sps = new BitWriter
+    sps.u(66, 8)  // profile_idc: Baseline
+    sps.u(0, 8)   // constraint flags + reserved
+    sps.u(30, 8)  // level_idc 3.0
+    sps.ue(0)     // seq_parameter_set_id
+    sps.ue(0)     // log2_max_frame_num_minus4
+    sps.ue(0)     // pic_order_cnt_type -> log2_max_pic_order_cnt_lsb_minus4
+    sps.ue(0)
+    sps.ue(1)     // max_num_ref_frames
+    sps.u(0, 1)   // gaps_in_frame_num_value_allowed_flag
+    sps.ue(wMbs - 1)
+    sps.ue(hMbs - 1)
+    sps.u(1, 1)   // frame_mbs_only_flag
+    sps.u(0, 1)   // direct_8x8_inference_flag
+    sps.u(0, 1)   // frame_cropping_flag
+    sps.u(0, 1)   // vui_parameters_present_flag
+    val pps = new BitWriter
+    pps.ue(0); pps.ue(0) // pps id, sps id (enough for a header walk)
+    val out = new ByteArrayOutputStream(1024)
+    def nal(refIdc: Int, nalType: Int, rbsp: Array[Byte]): Unit = {
+      out.write(0); out.write(0); out.write(0); out.write(1)
+      out.write((refIdc << 5) | nalType)
+      val esc = escapeRbsp(rbsp)
+      out.write(esc, 0, esc.length)
+    }
+    nal(3, 7, sps.stop())
+    nal(3, 8, pps.stop())
+    var sl = 0
+    while (sl < nSlices) {
+      val payload = new Array[Byte](32 + rng.nextInt(256))
+      rng.nextBytes(payload)
+      // slice payloads must not fake a start code: zero out no 00 00 0x runs
+      var k = 2
+      while (k < payload.length) {
+        if (payload(k - 2) == 0 && payload(k - 1) == 0 && (payload(k) & 0xff) <= 3)
+          payload(k) = 0x55
+        k += 1
+      }
+      nal(if (sl == 0) 3 else 2, if (sl == 0) 5 else 1, payload)
+      sl += 1
+    }
+    out.toByteArray
   }
 
   // ---- little-endian writers/readers for the RIFF family ----
@@ -188,9 +337,13 @@ object Multimodal {
     rng.nextLong()
     val kind = rng.nextInt(10)
     if (kind < 5) {
+      // real containers end-to-end: RIFF/WAVE PCM16, RIFF/AVI, MPEG-1
+      // Layer III frame streams, H.264 Annex-B — the former GMB stand-in
+      // survives only as MultimodalSpec's unknown-container fixture
       kind match {
-        case 0 => gmbBlob(rng, 0)
-        case 1 | 2 => wavBlob(rng)
+        case 0 => mp3Blob(rng)
+        case 1 => wavBlob(rng)
+        case 2 => h264Blob(rng)
         case _ => aviBlob(rng)
       }
     } else {
@@ -214,6 +367,12 @@ object Multimodal {
     else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') "bmp"
     else if (bytes.length >= 12 && tagAt(bytes, 0, "RIFF") && tagAt(bytes, 8, "WAVE")) "wav"
     else if (bytes.length >= 12 && tagAt(bytes, 0, "RIFF") && tagAt(bytes, 8, "AVI ")) "avi"
+    else if (bytes.length >= 3 && bytes(0) == 'I' && bytes(1) == 'D' &&
+        bytes(2) == '3') "mp3"
+    else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
+        (bytes(1) & 0xe0) == 0xe0) "mp3"
+    else if (bytes.length >= 4 && bytes(0) == 0 && bytes(1) == 0 &&
+        ((bytes(2) == 0 && bytes(3) == 1) || bytes(2) == 1)) "h264"
     else if (bytes.length >= 3 && bytes(0) == Magic(0) && bytes(1) == Magic(1) &&
         bytes(2) == Magic(2)) "gmb"
     else "unknown"
@@ -315,6 +474,166 @@ object Multimodal {
     MediaMeta(mediaId, "avi", w, h, streams, b.length.toLong, feats, "")
   }
 
+  /** REAL MPEG-1 Layer III metadata parse: skip an ID3v2 tag (syncsafe
+    * length), validate the first frame header (version/layer/bitrate/rate),
+    * then walk frame-length strides counting frames. No audio decode (no JDK
+    * mp3 codec) — bitrate/rate/channels/frame-count are header facts, the
+    * feature stand-in is the payload byte mean. `width` carries the sample
+    * rate and `height` the frame count (the WAV convention). Only MPEG-1
+    * Layer III is in scope; other version/layer combinations land in the
+    * taxonomy as `unsupported_codec`. */
+  private def decodeMp3(mediaId: Long, b: Array[Byte]): MediaMeta = {
+    var at = 0L
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val tagLen = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      at = 10L + tagLen
+    }
+    def fail(reason: String, rate: Int = 0, ch: Int = 0) =
+      MediaMeta(mediaId, "mp3", rate, 0, ch, b.length.toLong, Vector.empty, reason)
+    if (at + 4 > b.length) return fail("truncated")
+    val h0 = b(at.toInt) & 0xff; val h1 = b(at.toInt + 1) & 0xff
+    if (h0 != 0xff || (h1 & 0xe0) != 0xe0) return fail("decode_error")
+    val version = (h1 >> 3) & 3 // 3 = MPEG-1
+    val layer = (h1 >> 1) & 3   // 1 = Layer III
+    if (version != 3 || layer != 1) return fail("unsupported_codec")
+    val h2 = b(at.toInt + 2) & 0xff
+    val brIdx = (h2 >> 4) & 0xf
+    val srIdx = (h2 >> 2) & 3
+    if (brIdx == 0 || brIdx == 15 || srIdx == 3) return fail("decode_error")
+    val rate = Mp3Rates(srIdx)
+    val mode = ((b(at.toInt + 3) & 0xff) >> 6) & 3
+    val ch = if (mode == 3) 1 else 2
+    var frames = 0
+    var paySum = 0L; var payN = 0L
+    while (at + 4 <= b.length && (b(at.toInt) & 0xff) == 0xff &&
+           ((b(at.toInt + 1) & 0xff) & 0xe0) == 0xe0) {
+      val hh = b(at.toInt + 2) & 0xff
+      val bi = (hh >> 4) & 0xf; val si = (hh >> 2) & 3
+      if (bi == 0 || bi == 15 || si == 3) return fail("decode_error", rate, ch)
+      val pad = (hh >> 1) & 1
+      val fLen = 144 * Mp3Bitrates(bi) * 1000 / Mp3Rates(si) + pad
+      val end = math.min(b.length.toLong, at + fLen)
+      var k = at + 4
+      while (k < end) { paySum += (b(k.toInt) & 0xff); payN += 1; k += 1 }
+      frames += 1
+      at += fLen
+    }
+    if (frames == 0) return fail("decode_error", rate, ch)
+    val feats = Vector(if (payN == 0) 0.0 else paySum.toDouble / payN)
+    MediaMeta(mediaId, "mp3", rate, frames, ch, b.length.toLong, feats, "")
+  }
+
+  /** MSB-first bit reader with exp-Golomb ue(v) over an unescaped RBSP. */
+  private final class BitReader(b: Array[Byte]) {
+    private var pos = 0
+    def u(bits: Int): Int = {
+      var v = 0; var k = 0
+      while (k < bits) {
+        val byteAt = pos >> 3
+        if (byteAt >= b.length) throw new IndexOutOfBoundsException("rbsp")
+        v = (v << 1) | ((b(byteAt) >> (7 - (pos & 7))) & 1)
+        pos += 1; k += 1
+      }
+      v
+    }
+    def ue(): Int = {
+      var zeros = 0
+      while (u(1) == 0) { zeros += 1; if (zeros > 31) throw new IllegalStateException("ue") }
+      if (zeros == 0) 0 else ((1 << zeros) | u(zeros)) - 1
+    }
+  }
+
+  /** Reverse the 00 00 03 emulation-prevention escape (H.264 §7.4.1.1). */
+  private def unescapeRbsp(b: Array[Byte], from: Int, until: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream(until - from)
+    var zeros = 0
+    var k = from
+    while (k < until) {
+      val v = b(k) & 0xff
+      if (zeros >= 2 && v == 3) zeros = 0 // drop the escape byte
+      else { out.write(v); zeros = if (v == 0) zeros + 1 else 0 }
+      k += 1
+    }
+    out.toByteArray
+  }
+
+  /** REAL H.264 Annex-B metadata parse: start-code walk over NAL units, SPS
+    * (type 7) exp-Golomb parse for profile/level and pixel geometry incl.
+    * frame cropping, slice NALs (1/5) counted as the frame stand-in. No
+    * picture decode (no JDK codec) — geometry and structure are header
+    * facts. `channels` carries the slice-NAL count's stream analog (1). */
+  private def decodeH264(mediaId: Long, b: Array[Byte]): MediaMeta = {
+    // collect start-code offsets (both 3- and 4-byte forms)
+    var w = 0; var h = 0; var slices = 0; var sawSps = false
+    var paySum = 0L; var payN = 0L
+    var k = 0
+    // (start-code position, NAL header offset) pairs; NAL i's payload ends
+    // where start code i+1 BEGINS
+    val nals = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    while (k + 3 <= b.length) {
+      if (b(k) == 0 && b(k + 1) == 0 && b(k + 2) == 1) {
+        nals += ((k, k + 3)); k += 3
+      } else if (k + 4 <= b.length && b(k) == 0 && b(k + 1) == 0 &&
+                 b(k + 2) == 0 && b(k + 3) == 1) {
+        nals += ((k, k + 4)); k += 4
+      } else k += 1
+    }
+    if (nals.isEmpty)
+      return MediaMeta(mediaId, "h264", 0, 0, 0, b.length.toLong,
+        Vector.empty, "decode_error")
+    val bounds = nals.zip(nals.drop(1).map(_._1) :+ b.length)
+    for (((_, at), end) <- bounds if at < b.length) {
+      val nalType = b(at) & 0x1f
+      if (nalType == 7 && !sawSps) {
+        try {
+          val r = new BitReader(unescapeRbsp(b, at + 1, end))
+          val profile = r.u(8); r.u(8); r.u(8) // profile, flags, level
+          r.ue() // sps id
+          if (profile == 100 || profile == 110 || profile == 122 || profile == 244 ||
+              profile == 44 || profile == 83 || profile == 86) {
+            // high-profile chroma block (not emitted by the writer, parsed
+            // for generality): chroma_format_idc etc.
+            val chroma = r.ue()
+            if (chroma == 3) r.u(1)
+            r.ue(); r.ue(); r.u(1)
+            if (r.u(1) == 1) return MediaMeta(mediaId, "h264", 0, 0, 0,
+              b.length.toLong, Vector.empty, "unsupported_codec") // scaling lists
+          }
+          r.ue() // log2_max_frame_num_minus4
+          val poc = r.ue()
+          if (poc == 0) r.ue()
+          else if (poc == 1) {
+            r.u(1); r.ue(); r.ue()
+            val n = r.ue()
+            var j = 0; while (j < n) { r.ue(); j += 1 }
+          }
+          r.ue(); r.u(1) // max_num_ref_frames, gaps flag
+          val wMbs = r.ue() + 1
+          val hUnits = r.ue() + 1
+          val frameMbsOnly = r.u(1)
+          if (frameMbsOnly == 0) r.u(1)
+          r.u(1) // direct_8x8
+          var cropL = 0; var cropR = 0; var cropT = 0; var cropB = 0
+          if (r.u(1) == 1) { cropL = r.ue(); cropR = r.ue(); cropT = r.ue(); cropB = r.ue() }
+          w = wMbs * 16 - 2 * (cropL + cropR)
+          h = (2 - frameMbsOnly) * hUnits * 16 - 2 * (cropT + cropB)
+          sawSps = true
+        } catch { case _: Exception => /* malformed SPS: keep walking */ }
+      } else if (nalType == 1 || nalType == 5) {
+        slices += 1
+        var j = at + 1
+        while (j < end) { paySum += (b(j) & 0xff); payN += 1; j += 1 }
+      }
+    }
+    if (!sawSps)
+      return MediaMeta(mediaId, "h264", 0, 0, 0, b.length.toLong,
+        Vector.empty, "decode_error")
+    val feats = Vector(
+      if (payN == 0) 0.0 else paySum.toDouble / payN, slices.toDouble)
+    MediaMeta(mediaId, "h264", w, h, 1, b.length.toLong, feats, "")
+  }
+
   /** REAL image decode via the JDK codecs: raster width/height/bands plus
     * per-channel pixel means (integer sample sums, one final division —
     * deterministic). Decode failures become taxonomy rows, never throws. */
@@ -381,6 +700,8 @@ object Multimodal {
       case "gmb" => decodeGmb(mediaId, bytes)
       case "wav" => decodeWav(mediaId, bytes)
       case "avi" => decodeAvi(mediaId, bytes)
+      case "mp3" => decodeMp3(mediaId, bytes)
+      case "h264" => decodeH264(mediaId, bytes)
       case "unknown" => MediaMeta(mediaId, "unknown", 0, 0, 0,
         bytes.length.toLong, Vector.empty, "bad_magic")
       case fmt => decodeImage(mediaId, bytes, fmt)

@@ -253,7 +253,17 @@ object PdfLite {
     *    through the codespacerange'd `/ToUnicode` CMap (the CJK reality);
     *  - `form` moves each page's body into a `/Subtype /Form` XObject
     *    carrying its own font resources, invoked by a tiny `/Fm0 Do`
-    *    contents stream (letterhead/stamp layouts). */
+    *    contents stream (letterhead/stamp layouts);
+    *  - `differences` declares `/Encoding << /BaseEncoding /WinAnsiEncoding
+    *    /Differences [...] >>` (the most common simple-font encoding after
+    *    bare WinAnsi — §9.6.6.3): EVEN-indexed non-ASCII chars in use get
+    *    remapped byte codes published ONLY through the Differences array
+    *    (split across two code runs so parsers see a restart), odd-indexed
+    *    chars ride the cp1252 base — one font, both decode paths;
+    *  - `dctImage` makes the scanned-page image XObject carry REAL JPEG
+    *    bytes behind `/Filter /DCTDecode` (instead of the bare pixel-less
+    *    marker), so the router's image sniff has actual pixels to decode. */
+  final case class JpegImage(bytes: Array[Byte], w: Int, h: Int)
   def writeDoc(pages: Seq[PageSpec], scanned: Boolean = false,
                compress: Boolean = false, tjEvery: Int = 0,
                hexEvery: Int = 0, xref: Boolean = false,
@@ -261,7 +271,9 @@ object PdfLite {
                toUnicode: Boolean = false, xrefStream: Boolean = false,
                hexArmor: Boolean = false, lzw: Boolean = false,
                predictor: Boolean = false, rotate: Int = 0,
-               cid: Boolean = false, form: Boolean = false): Array[Byte] = {
+               cid: Boolean = false, form: Boolean = false,
+               differences: Boolean = false,
+               dctImage: Option[JpegImage] = None): Array[Byte] = {
     // CID text is emitted as hex strings only (a 2-byte code containing
     // 0x20 must not be word-split by the TJ writer); rotated pages skip TJ
     // so kerning advances stay a pure line-axis concern
@@ -277,7 +289,7 @@ object PdfLite {
     // formBase+i) that the tiny /Contents stream invokes via `Do`
     val formBase = 3 + 2 * pages.length
     val imageObjNum = formBase + (if (form) pages.length else 0)
-    val useFont = winAnsi || toUnicode || cid
+    val useFont = winAnsi || toUnicode || cid || differences
     val fontObjNum = imageObjNum + (if (scanned) 1 else 0)
     val cmapObjNum = fontObjNum + 1
     val objStmNum = fontObjNum + (if (useFont) 1 else 0) + (if (toUnicode || cid) 1 else 0)
@@ -291,6 +303,23 @@ object PdfLite {
       else pages.flatMap(_.runs).flatMap(_.text).filter(_ > 0x7e)
         .distinct.take(0x7e)
         .zipWithIndex.map { case (c, k) => c -> (0x80 + k).toChar }.toMap
+    // Differences remapping: even-indexed non-ASCII chars in use get codes
+    // the Differences array alone explains (from the 0x80 block, spilling
+    // into a second run at 0xC0); odd-indexed chars stay on the cp1252 base
+    // encoding — whose bytes are RESERVED, because the parser must give a
+    // Differences mapping precedence at any code it names (§9.6.6.3), so a
+    // remapped code colliding with a base-encoded byte would shadow it
+    val diffCode: Map[Char, Char] =
+      if (!differences) Map.empty
+      else {
+        val nonAscii = pages.flatMap(_.runs).flatMap(_.text)
+          .filter(_ > 0x7e).distinct
+        val evens = nonAscii.zipWithIndex.collect { case (c, k) if k % 2 == 0 => c }
+        val reserved = nonAscii.zipWithIndex.collect { case (c, k) if k % 2 == 1 =>
+          winAnsiEnc(c.toString).charAt(0).toInt }.toSet
+        val avail = ((0x80 to 0x9f) ++ (0xc0 to 0xff)).filterNot(reserved)
+        evens.zip(avail.map(_.toChar)).toMap
+      }
     val enc: String => String =
       if (cid) t => { // Identity-H-style: every char is its own 2-byte code
         val sb = new java.lang.StringBuilder(t.length * 2)
@@ -298,6 +327,9 @@ object PdfLite {
         sb.toString
       }
       else if (toUnicode) t => t.map(c => if (c <= 0x7e) c else codeMap.getOrElse(c, '?'))
+      else if (differences) t => t.map(c =>
+        if (c <= 0x7e) c
+        else diffCode.getOrElse(c, winAnsiEnc(c.toString).charAt(0)))
       else if (winAnsi) winAnsiEnc
       else latin1Enc
 
@@ -393,8 +425,19 @@ object PdfLite {
     }
     if (scanned) {
       beginObj(imageObjNum)
-      put(s"$imageObjNum 0 obj << /Type /XObject /Subtype /Image " +
-        "/Width 800 /Height 1100 >> endobj\n")
+      dctImage match {
+        case Some(j) =>
+          // real scanned-page pixels: a JPEG-bytes stream behind /DCTDecode
+          put(s"$imageObjNum 0 obj << /Type /XObject /Subtype /Image " +
+            s"/Width ${j.w} /Height ${j.h} /ColorSpace /DeviceRGB " +
+            s"/BitsPerComponent 8 /Filter /DCTDecode " +
+            s"/Length ${j.bytes.length} >> stream\n")
+          out.write(j.bytes)
+          put("\nendstream endobj\n")
+        case None =>
+          put(s"$imageObjNum 0 obj << /Type /XObject /Subtype /Image " +
+            "/Width 800 /Height 1100 >> endobj\n")
+      }
     }
     if (useFont) {
       beginObj(fontObjNum)
@@ -405,7 +448,21 @@ object PdfLite {
           s"/BaseFont /Synth-CID /Encoding /Identity-H " +
           s"/ToUnicode $cmapObjNum 0 R >> endobj\n")
       else {
-        val encPart = if (winAnsi) " /Encoding /WinAnsiEncoding" else ""
+        val encPart =
+          if (differences) {
+            // one "start-code name name ..." group per consecutive code run
+            val sb = new java.lang.StringBuilder
+            var prev = Int.MinValue
+            for ((code, ch) <- diffCode.toSeq.map { case (c, k) => (k.toInt, c) }.sorted) {
+              if (code != prev + 1) sb.append(' ').append(code)
+              sb.append(" /").append(Glyphs.nameOf(ch))
+              prev = code
+            }
+            s" /Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding " +
+              s"/Differences [$sb ] >>"
+          }
+          else if (winAnsi) " /Encoding /WinAnsiEncoding"
+          else ""
         val cmapPart = if (toUnicode) s" /ToUnicode $cmapObjNum 0 R" else ""
         put(s"$fontObjNum 0 obj << /Type /Font /Subtype /Type1 " +
           s"/BaseFont /Helvetica$encPart$cmapPart >> endobj\n")
@@ -1047,8 +1104,58 @@ object PdfLite {
     * simple encoding and the `/ToUnicode` CMap (byte code → Unicode string),
     * which — as in PyMuPDF — takes precedence for text extraction. */
   private final case class FontInfo(winAnsi: Boolean, cmap: Map[Int, String],
-                                    twoByte: Boolean = false)
+                                    twoByte: Boolean = false,
+                                    diffs: Map[Int, Char] = Map.empty)
   private val DefaultFont = FontInfo(winAnsi = false, cmap = Map.empty)
+
+  private val DiffTokenPat = java.util.regex.Pattern
+    .compile("(\\d+)|/([^\\s/\\[\\]<>()]+)")
+
+  /** `/Encoding` resolution beyond the bare `/WinAnsiEncoding` name: the
+    * dictionary form (inline or an indirect object) carrying
+    * `/BaseEncoding` and a `/Differences` array — "code /name /name ..."
+    * groups where each name maps the next consecutive code (PDF 32000-1
+    * §9.6.6.3). Returns (baseIsWinAnsi, code → char); glyph names resolve
+    * through the AGL subset + `uniXXXX` ([[Glyphs]]); unknown names keep
+    * their base-encoding meaning. */
+  private def encodingOf(fontDict: String, byNum: Map[Int, PdfObj])
+      : (Boolean, Map[Int, Char]) = {
+    val i = fontDict.indexOf("/Encoding")
+    if (i < 0) return (false, Map.empty)
+    val encDict: Option[String] =
+      refOf(fontDict.substring(i), "/Encoding") match {
+        case Some(r) => byNum.get(r).map(_.dict)
+        case None =>
+          // inline form only when a dict opens right after the key —
+          // dictSpan would otherwise latch onto some LATER dict in the font
+          var k = i + "/Encoding".length
+          while (k < fontDict.length && fontDict.charAt(k).isWhitespace) k += 1
+          if (k + 1 < fontDict.length && fontDict.charAt(k) == '<' &&
+              fontDict.charAt(k + 1) == '<') dictSpan(fontDict, k)
+          else None
+      }
+    encDict match {
+      case None => (false, Map.empty)
+      case Some(d) =>
+        val baseWin = d.contains("/WinAnsiEncoding")
+        val di = d.indexOf("/Differences")
+        if (di < 0) return (baseWin, Map.empty)
+        val open = d.indexOf('[', di)
+        val close = if (open < 0) -1 else d.indexOf(']', open)
+        if (close < 0) return (baseWin, Map.empty)
+        val m = DiffTokenPat.matcher(d.substring(open + 1, close))
+        val out = Map.newBuilder[Int, Char]
+        var code = 0
+        while (m.find()) {
+          if (m.group(1) != null) code = m.group(1).toInt
+          else {
+            Glyphs.charOf(m.group(2)).foreach(c => out += code -> c)
+            code += 1
+          }
+        }
+        (baseWin, out.result())
+    }
+  }
 
   private val CMapCharPat = java.util.regex.Pattern
     .compile("<([0-9A-Fa-f]{2,4})>\\s*<([0-9A-Fa-f]+)>")
@@ -1137,9 +1244,10 @@ object PdfLite {
           val fontDict = byNum.get(m.group(2).toInt).map(_.dict).getOrElse("")
           val (cmap, twoByte) = refOf(fontDict, "/ToUnicode").flatMap(byNum.get)
             .map(o => parseCMap(streamText(s, o))).getOrElse((Map.empty[Int, String], false))
-          val winAnsi = fontDict.contains("/WinAnsiEncoding")
-          if (winAnsi || cmap.nonEmpty)
-            out += m.group(1) -> FontInfo(winAnsi, cmap, twoByte)
+          val (baseWin, diffs) = encodingOf(fontDict, byNum)
+          val winAnsi = baseWin || fontDict.contains("/WinAnsiEncoding")
+          if (winAnsi || cmap.nonEmpty || diffs.nonEmpty)
+            out += m.group(1) -> FontInfo(winAnsi, cmap, twoByte, diffs)
         }
         out.result()
       }
@@ -1209,6 +1317,27 @@ object PdfLite {
     }
   }
 
+  // cp1252's 0x80-0x9F block (JDK charset is the authoritative table)
+  private lazy val Cp1252Hi: Array[Char] =
+    (0x80 to 0x9f).map(b => new String(Array(b.toByte), "windows-1252").charAt(0)).toArray
+
+  /** Byte decode for a simple font carrying `/Differences`: the array's
+    * mapping wins per code, anything else falls back to the base encoding
+    * (cp1252 when `/BaseEncoding /WinAnsiEncoding`, else Latin-1). */
+  private def diffText(raw: String, diffs: Map[Int, Char],
+                       winAnsiBase: Boolean): String = {
+    val sb = new java.lang.StringBuilder(raw.length)
+    var k = 0
+    while (k < raw.length) {
+      val code = raw.charAt(k) & 0xff
+      sb.append(diffs.getOrElse(code,
+        if (winAnsiBase && code >= 0x80 && code <= 0x9f) Cp1252Hi(code - 0x80)
+        else code.toChar))
+      k += 1
+    }
+    sb.toString
+  }
+
   /** Page-tree walk + content-stream interpretation → positioned TextItems
     * (with 1-based page numbers). Tolerant: unknown operators are skipped; a
     * malformed stream yields the items recovered so far; no recognizable page
@@ -1223,8 +1352,26 @@ object PdfLite {
 
   private def parseImpl(bytes: Array[Byte], run: Boolean): Parsed = {
     val s = new String(bytes, Latin1)
-    val hasImage = s.contains("/Subtype /Image")
     val objs = scanObjects(s)
+    // image sniff (feeds the router's scanned detection): a bare
+    // `/Subtype /Image` marker counts, but a `/DCTDecode` image must
+    // actually DECODE (javax.imageio — the same codec kernel the
+    // standalone image path uses) to count as pixels; a corrupt JPEG
+    // payload must not promote a text-free page to the high-confidence
+    // scanned route
+    val imgObjs = objs.filter(_.dict.contains("/Subtype /Image"))
+    val hasImage =
+      if (imgObjs.isEmpty) s.contains("/Subtype /Image")
+      else imgObjs.exists { o =>
+        if (!o.dict.contains("/DCTDecode")) true
+        else o.hasStream && {
+          val n = o.streamEnd - o.streamStart
+          val b = new Array[Byte](math.max(0, n))
+          var k = 0
+          while (k < n) { b(k) = s.charAt(o.streamStart + k).toByte; k += 1 }
+          Multimodal.imageDims(b).isDefined
+        }
+      }
     // resolution order (PDF semantics):
     //  1. linear scan, first definition wins — a spurious in-stream
     //     "N 0 obj" must not shadow the real object N;
@@ -1429,6 +1576,7 @@ object PdfLite {
     def emit(raw: String): Unit = {
       val decoded =
         if (font.cmap.nonEmpty) applyCMap(raw, font.cmap, font.twoByte)
+        else if (font.diffs.nonEmpty) diffText(raw, font.diffs, font.winAnsi)
         else if (font.winAnsi) winAnsiText(raw)
         else raw
       val text = Py.strip(decoded)

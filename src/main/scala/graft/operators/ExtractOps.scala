@@ -433,6 +433,90 @@ object ExtractOps {
     s"""WITH g AS (${goldenDocsSql()})
        |SELECT url, csv_md5, csv_len FROM g ORDER BY url LIMIT 200""".stripMargin
 
+  /** q44_stream_windowed — the WATERMARKED streaming rollup
+    * ([[graft.streaming.ExtractStream.windowedRollup]]) as a driver-gated
+    * query, in APPEND mode (the production shape: a window row is emitted
+    * exactly once, when the watermark passes its end — the state-eviction
+    * contract that keeps streaming state bounded at a 10^12-doc tail).
+    *
+    * Determinism mechanics: the page slice is staged as chronologically
+    * ordered parquet files (one per 3-minute event-time chunk, explicit
+    * ascending mod-times; the file source drains oldest-first at one file
+    * per micro-batch), so the 2-minute watermark never drops an in-order
+    * row. TWO far-future sentinel pages then push the watermark past every
+    * real window across two final micro-batches — the second batch evicts
+    * and emits everything the first batch's watermark covers, without
+    * relying on a trailing no-data batch. The sentinels' own windows never
+    * finalize and are absent, so the sink equals the batch group-by over
+    * the committed golden. */
+  def q44StreamWindowed(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val n = nDocs(spark, dir)
+    val tmp = Files.createTempDirectory("graft_stream_win").toString
+    try {
+      val inDir = Paths.get(s"$tmp/in"); Files.createDirectories(inDir)
+      val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+      val pages = cachedPages(spark, n)
+      val baseSec = graft.kernel.Corpus.BaseEpochMs / 1000L
+      val chunkSec = 180L
+      val nChunks = ((n + chunkSec - 1) / chunkSec).toInt
+      var fileNo = 0
+      def stage(df: DataFrame): Unit = {
+        val stg = s"$tmp/stage$fileNo"
+        df.coalesce(1).write.parquet(stg)
+        for (f <- new java.io.File(stg).listFiles()
+             if f.getName.endsWith(".parquet")) {
+          val dst = inDir.resolve(f"c$fileNo%05d.parquet")
+          Files.move(f.toPath, dst, StandardCopyOption.ATOMIC_MOVE)
+          // explicit ascending mod-times: the file source's oldest-first
+          // order must match event-time order, not write-job timing
+          dst.toFile.setLastModified(1700000000000L + fileNo * 1000L)
+        }
+        fileNo += 1
+      }
+      for (k <- 0 until nChunks)
+        stage(pages.where(col("warc_ts").cast("long")
+          .between(baseSec + k * chunkSec, baseSec + (k + 1) * chunkSec - 1)))
+      for (s <- Seq(900L, 1800L))
+        stage(pages.limit(1)
+          .withColumn("warc_ts",
+            lit(new java.sql.Timestamp((baseSec + n + s) * 1000L)))
+          .withColumn("url", lit(s"sentinel-$s")))
+      val stream = spark.readStream
+        .schema(graft.streaming.ExtractStream.pageSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inDir.toString)
+      val query = graft.streaming.ExtractStream.windowedRollup(stream)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      val res = spark.read.parquet(outDir)
+        .select(col("window.start").cast("long").as("win_start_s"),
+          col("route"), col("n_docs"), col("n_failures"),
+          col("sum_text_chars").as("sum_chars"))
+        // the sentinels are harness scaffolding, not data: drop their
+        // windows (the trailing no-data batch finalizes the EARLIER
+        // sentinel's window once the later one advances the watermark)
+        .where(col("win_start_s") < lit(baseSec + n))
+        .orderBy(col("win_start_s"), col("route"))
+      val rows = res.collect()
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.toSeq.asJava, res.schema)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+
+  val q44StreamWindowedSql: String =
+    s"""WITH g AS (${goldenDocsSql(perDoc = 1L)})
+       |SELECT ${graft.kernel.Corpus.BaseEpochMs / 1000L} + (idx // 60) * 60 AS win_start_s,
+       |  route, count(*) AS n_docs,
+       |  cast(sum(CASE WHEN failure <> '' THEN 1 ELSE 0 END) as bigint) AS n_failures,
+       |  cast(sum(n_chars) as bigint) AS sum_chars
+       |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_extract_rollup" -> (q25ExtractRollup _),
     "q26_extract_text_hash" -> (q26ExtractTextHash _),
@@ -444,7 +528,8 @@ object ExtractOps {
     "q39_template_stats" -> (q39TemplateStats _),
     "q41_quality_hist" -> (q41QualityHist _),
     "q42_stream_extract" -> (q42StreamExtract _),
-    "q43_csv_render" -> (q43CsvRender _))
+    "q43_csv_render" -> (q43CsvRender _),
+    "q44_stream_windowed" -> (q44StreamWindowed _))
 
   def oracles: Map[String, String] = Map(
     "q25_extract_rollup" -> q25ExtractRollupSql,
@@ -457,5 +542,6 @@ object ExtractOps {
     "q39_template_stats" -> q39TemplateStatsSql,
     "q41_quality_hist" -> q41QualityHistSql,
     "q42_stream_extract" -> q42StreamExtractSql,
-    "q43_csv_render" -> q43CsvRenderSql)
+    "q43_csv_render" -> q43CsvRenderSql,
+    "q44_stream_windowed" -> q44StreamWindowedSql)
 }

@@ -93,11 +93,60 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m.format == "wav" && m.failure == "decode_error")
   }
 
-  test("blob generator mixes real images with real WAV/AVI containers") {
+  test("hand-built MPEG-1 Layer III stream: header facts decode exactly") {
+    // two frames: sync+MPEG1+LayerIII (FF FB), bitrate idx 9 = 128 kbit/s,
+    // rate idx 0 = 44100 Hz, stereo; frameLen = 144*128000/44100 = 417
+    val frameLen = 417
+    val frame = Array.fill[Byte](frameLen)(0x10)
+    frame(0) = 0xff.toByte; frame(1) = 0xfb.toByte
+    frame(2) = 0x90.toByte; frame(3) = 0x00
+    val mp3 = frame ++ frame
+    val m = Multimodal.decode(40, mp3)
+    assert(m.failure.isEmpty && m.format == "mp3", m)
+    assert(m.width == 44100 && m.height == 2 && m.channels == 2)
+    assert(m.features == Vector(16.0)) // payload bytes are all 0x10
+    // an ID3v2 tag in front is skipped by its syncsafe length
+    val id3 = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0, 4) ++
+      Array.fill[Byte](4)(0x7a) ++ mp3
+    val m2 = Multimodal.decode(41, id3)
+    assert(m2.failure.isEmpty && m2.height == 2 && m2.width == 44100)
+    // MPEG-2 (version bits 10) is out of scope -> unsupported_codec
+    val v2 = mp3.clone(); v2(1) = 0xf3.toByte
+    assert(Multimodal.decode(42, v2).failure == "unsupported_codec")
+    // a reserved bitrate index is a corrupt header
+    val bad = mp3.clone(); bad(2) = 0xf0.toByte
+    assert(Multimodal.decode(43, bad).failure == "decode_error")
+  }
+
+  test("hand-built H.264 Annex-B stream: SPS geometry decodes exactly") {
+    // SPS: Baseline/3.0, pic_width_in_mbs=4, map_units=3 -> 64 x 48 px
+    val sps = Array[Byte](0, 0, 0, 1, 0x67,
+      0x42, 0x00, 0x1e, 0xf4.toByte, 0x23, 0x88.toByte)
+    val slice = Array[Byte](0, 0, 0, 1, 0x65, 0x10, 0x20, 0x30, 0x40)
+    val m = Multimodal.decode(44, sps ++ slice)
+    assert(m.failure.isEmpty && m.format == "h264", m)
+    assert(m.width == 64 && m.height == 48 && m.channels == 1)
+    assert(m.features == Vector(40.0, 1.0)) // slice payload mean, slice count
+    // a stream with start codes but no SPS cannot report geometry
+    val noSps = Multimodal.decode(45, slice)
+    assert(noSps.format == "h264" && noSps.failure == "decode_error")
+  }
+
+  test("blob generator mixes real images with real WAV/AVI/MP3/H264 containers") {
     val metas = (0L until 300L).map(i => Multimodal.decode(i, Multimodal.blob(i)))
     val byFormat = metas.groupBy(_.format)
-    for (f <- Seq("png", "jpeg", "bmp", "wav", "avi", "image"))
+    for (f <- Seq("png", "jpeg", "bmp", "wav", "avi", "mp3", "h264"))
       assert(byFormat.contains(f), s"format $f missing from the blob mix")
+    // the GMB stand-in is retired from the generator: only real containers
+    assert(!byFormat.contains("image") && !byFormat.contains("audio") &&
+      !byFormat.contains("video"), "GMB must no longer appear in the blob mix")
+    // every MP3 walks its frame headers cleanly
+    assert(byFormat("mp3").forall(m => m.failure.isEmpty && m.width >= 32000 &&
+      m.height >= 4 && m.channels >= 1 && m.features.length == 1))
+    // every H.264 stream parses its SPS: MB-aligned geometry, slice census
+    assert(byFormat("h264").forall(m => m.failure.isEmpty && m.width % 16 == 0 &&
+      m.height % 16 == 0 && m.width >= 16 && m.features.length == 2 &&
+      m.features(1) >= 1.0))
     // every real-image payload decodes cleanly with raster-backed metadata
     metas.filter(m => Set("png", "jpeg", "bmp")(m.format)).foreach { m =>
       assert(m.failure.isEmpty && m.width >= 8 && m.height >= 8 &&

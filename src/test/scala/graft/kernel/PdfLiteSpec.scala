@@ -503,4 +503,54 @@ class PdfLiteSpec extends AnyFunSuite {
     assert(parsed.hasImage && parsed.nPages == 1)
     assert(parsed.pageW == 1700 && parsed.pageH == 1200)
   }
+
+  test("/Encoding /Differences: remapped codes round-trip, base WinAnsi covers the rest") {
+    val memo = "mémo — “net €42” à ±5%"
+    val doc = PdfLite.writeDoc(Seq(PdfLite.PageSpec(800, 1000, Vector(
+      PdfLite.Run(100, 100, 12, "ascii stays ascii"),
+      PdfLite.Run(100, 140, 12, memo)))), differences = true)
+    val raw = new String(doc, StandardCharsets.ISO_8859_1)
+    assert(raw.contains("/Differences"), "dialect must be on the wire")
+    // the serialized bytes are NOT the text: at least one char rides a
+    // remapped code only the Differences array explains
+    assert(!raw.contains("mémo"), "remapped é must not serialize as its cp1252 byte")
+    assert(raw.contains(""), "the Differences code block must be in use")
+    val parsed = PdfLite.parse(doc)
+    assert(parsed.items.map(_.text) == Vector("ascii stays ascii", memo),
+      parsed.items.map(_.text))
+  }
+
+  test("/Differences via an INDIRECT encoding object, multi-run array, unknown names") {
+    // handcrafted: code 128 -> /Euro, run restart at 200 -> /uni0142 (AGL
+    // algorithmic), /g55 unknown (keeps cp1252 base meaning), base covers 0x93
+    val content = "BT /F1 12 Tf 10 100 Td (net  È ok) Tj ET"
+    val pdf = ("%PDF-1.4\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /MediaBox [0 0 400 200] /Contents 4 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> >> endobj\n" +
+      s"4 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n" +
+      "5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /F /Encoding 6 0 R >> endobj\n" +
+      "6 0 obj << /Type /Encoding /BaseEncoding /WinAnsiEncoding " +
+      "/Differences [ 128 /Euro 200 /uni0142 /g55 ] >> endobj\n" +
+      "%%EOF\n").getBytes(StandardCharsets.ISO_8859_1)
+    val items = PdfLite.parse(pdf).items
+    // 0x80->€ (Differences), 0xC8->ł (uni0142 run), 0x93/0x94->cp1252 “ ”
+    assert(items.map(_.text) == Vector("net € ł “ok”"), items)
+  }
+
+  test("/DCTDecode image XObject: real JPEG decodes -> image marker; corrupt does not") {
+    val rng = new java.util.Random(7)
+    val jpeg = Multimodal.jpegBlob(rng, 32, 40)
+    val runs = Vector(PdfLite.Run(100, 100, 12, "x"))
+    def doc(img: Option[PdfLite.JpegImage]) =
+      PdfLite.writeDoc(Seq(PdfLite.PageSpec(800, 1000, runs)),
+        scanned = true, dctImage = img)
+    assert(PdfLite.parse(doc(Some(PdfLite.JpegImage(jpeg, 32, 40)))).hasImage,
+      "a decodable JPEG payload must sniff as an image")
+    val corrupt = jpeg.take(8) ++ Array.fill[Byte](64)(0x5a)
+    assert(!PdfLite.parse(doc(Some(PdfLite.JpegImage(corrupt, 32, 40)))).hasImage,
+      "a corrupt DCT payload must NOT promote the page to the scanned-image route")
+    assert(PdfLite.parse(doc(None)).hasImage,
+      "the bare pixel-less marker keeps its sniff value")
+  }
 }
