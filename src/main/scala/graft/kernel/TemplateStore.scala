@@ -119,6 +119,35 @@ object TemplateStore {
         Files.move(from, to, StandardCopyOption.REPLACE_EXISTING)
     }
 
+  /** Programmatic template CREATION — the reference's human-in-the-loop
+    * flow (`table_slicer.py:171-232`: draw the table box, click the column
+    * guides, save) minus the GUI: validate the drawn geometry
+    * ([[graft.kernel.Template.validated]] — auto-sort guides, clamp the
+    * outer guides into the box), merge into the registry under the
+    * normalized vendor key, persist atomically. Replacing an existing
+    * vendor PRESERVES its `created` provenance; `modified` is stamped by
+    * the save's `nowIso` (the reference's to_dict semantics). Returns the
+    * normalized template, or the failure reason — an invalid creation
+    * never touches the registry file. */
+  def create(path: String, vendor: String, tableBox: Vector[Int],
+             columns: Vector[Int], confidence: Double = 1.0,
+             nowIso: String = "", makeBackup: Boolean = true)
+      : Either[String, Template] = {
+    val key = vendor.trim.toLowerCase
+    if (key.isEmpty) return Left("invalid_vendor")
+    Template(key, tableBox, columns, confidence).validated match {
+      case None => Left("invalid_template")
+      case Some(t0) =>
+        val existing = load(path)
+        val t = existing.get(key) match {
+          case Some(old) if old.created.nonEmpty => t0.copy(created = old.created)
+          case _ => t0.copy(created = nowIso)
+        }
+        if (save(path, existing.updated(key, t), makeBackup, nowIso)) Right(t)
+        else Left("save_failed")
+    }
+  }
+
   /** A9 — registry statistics, `get_stats` (`template.py:308-336`). */
   final case class Stats(count: Int, vendors: Vector[String], avgColumns: Double,
                          minColumns: Int, maxColumns: Int,

@@ -517,6 +517,48 @@ object ExtractOps {
        |  cast(sum(n_chars) as bigint) AS sum_chars
        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q45_template_create — the S7/S8 lifecycle INCLUDING creation
+    * ([[graft.kernel.TemplateStore.create]]): create two templates with
+    * deliberately messy geometry (unsorted column guides, guides outside
+    * the box — normalized by the reference's auto-sort + clamp), update one
+    * (created provenance preserved, modified restamped), reject an invalid
+    * box (degenerate — must not touch the registry), then RELOAD the
+    * persisted file and emit the normalized rows. The oracle is the
+    * expected normalized registry as VALUES — cross-engine proof that
+    * create → atomic persist → load round-trips the reference's
+    * normalization semantics. */
+  def q45TemplateCreate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.kernel.TemplateStore
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tpl").toString
+    val reg = s"$tmp/templates.json"
+    try {
+      val t1 = "2025-09-01T00:00:00Z"; val t2 = "2025-09-02T00:00:00Z"
+      val r1 = TemplateStore.create(reg, "Acme",
+        Vector(100, 200, 900, 1000), Vector(950, 90, 400), nowIso = t1)
+      val r2 = TemplateStore.create(reg, "widgetco",
+        Vector(0, 0, 500, 500), Vector(0, 100, 200, 500), nowIso = t1)
+      val r3 = TemplateStore.create(reg, "ACME", // update: key normalizes
+        Vector(50, 50, 800, 900), Vector(60, 300, 700), nowIso = t2)
+      val rejected = TemplateStore.create(reg, "bad",
+        Vector(9, 9, 9, 9), Vector(1, 2), nowIso = t2).isLeft
+      val allOk = r1.isRight && r2.isRight && r3.isRight && rejected
+      TemplateStore.load(reg).toSeq.sortBy(_._1).map { case (v, t) =>
+        (v, t.columns.length - 1, t.columns.head, t.columns.last,
+          t.created, t.modified, allOk)
+      }.toDF("vendor", "n_cols", "col_first", "col_last",
+        "created", "modified", "lifecycle_ok")
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(tmp))
+  }
+
+  val q45TemplateCreateSql: String =
+    """SELECT * FROM (VALUES
+      |  ('acme', 2, 60, 700, '2025-09-01T00:00:00Z', '2025-09-02T00:00:00Z', true),
+      |  ('widgetco', 3, 0, 500, '2025-09-01T00:00:00Z', '2025-09-02T00:00:00Z', true))
+      |  AS t(vendor, n_cols, col_first, col_last, created, modified, lifecycle_ok)
+      |ORDER BY vendor""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_extract_rollup" -> (q25ExtractRollup _),
     "q26_extract_text_hash" -> (q26ExtractTextHash _),
@@ -529,7 +571,8 @@ object ExtractOps {
     "q41_quality_hist" -> (q41QualityHist _),
     "q42_stream_extract" -> (q42StreamExtract _),
     "q43_csv_render" -> (q43CsvRender _),
-    "q44_stream_windowed" -> (q44StreamWindowed _))
+    "q44_stream_windowed" -> (q44StreamWindowed _),
+    "q45_template_create" -> (q45TemplateCreate _))
 
   def oracles: Map[String, String] = Map(
     "q25_extract_rollup" -> q25ExtractRollupSql,
@@ -543,5 +586,6 @@ object ExtractOps {
     "q41_quality_hist" -> q41QualityHistSql,
     "q42_stream_extract" -> q42StreamExtractSql,
     "q43_csv_render" -> q43CsvRenderSql,
-    "q44_stream_windowed" -> q44StreamWindowedSql)
+    "q44_stream_windowed" -> q44StreamWindowedSql,
+    "q45_template_create" -> q45TemplateCreateSql)
 }

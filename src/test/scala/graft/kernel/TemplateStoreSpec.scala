@@ -96,4 +96,45 @@ class TemplateStoreSpec extends AnyFunSuite {
     assert(viaLoaded.extractedText == viaBuiltin.extractedText)
     assert(viaLoaded.vendor == viaBuiltin.vendor)
   }
+
+  test("create: validate-normalize-persist; update preserves created provenance") {
+    val path = tmpFile()
+    val t1 = "2025-09-01T00:00:00Z"; val t2 = "2025-09-02T00:00:00Z"
+    // messy geometry: unsorted guides, guides outside the box
+    val r1 = TemplateStore.create(path, "Acme",
+      Vector(100, 200, 900, 1000), Vector(950, 90, 400), nowIso = t1)
+    assert(r1.isRight)
+    // auto-sort (90,400,950) then clamp head to x1=100 and last to x2=900
+    assert(r1.toOption.get.columns == Vector(100, 400, 900))
+    val loaded1 = TemplateStore.load(path)
+    assert(loaded1.keySet == Set("acme")) // key normalized
+    assert(loaded1("acme").created == t1 && loaded1("acme").modified == t1)
+
+    // update under a differently-cased key: geometry replaced, created kept
+    val r2 = TemplateStore.create(path, "ACME",
+      Vector(50, 50, 800, 900), Vector(60, 300, 700), nowIso = t2)
+    assert(r2.isRight)
+    val loaded2 = TemplateStore.load(path)
+    assert(loaded2("acme").columns == Vector(60, 300, 700))
+    assert(loaded2("acme").created == t1, "created provenance must survive updates")
+    assert(loaded2("acme").modified == t2)
+  }
+
+  test("create: invalid geometry is rejected and never touches the registry") {
+    val path = tmpFile()
+    assert(TemplateStore.create(path, "good",
+      Vector(0, 0, 500, 500), Vector(0, 250, 500), nowIso = "t").isRight)
+    val before = Files.readAllBytes(Paths.get(path)).toVector
+    // degenerate box
+    assert(TemplateStore.create(path, "bad1",
+      Vector(9, 9, 9, 9), Vector(1, 2)) == Left("invalid_template"))
+    // single column guide
+    assert(TemplateStore.create(path, "bad2",
+      Vector(0, 0, 100, 100), Vector(50)) == Left("invalid_template"))
+    // blank vendor
+    assert(TemplateStore.create(path, "  ",
+      Vector(0, 0, 100, 100), Vector(0, 100)) == Left("invalid_vendor"))
+    assert(Files.readAllBytes(Paths.get(path)).toVector == before,
+      "a rejected creation must leave the registry byte-identical")
+  }
 }
