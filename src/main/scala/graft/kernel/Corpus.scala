@@ -22,7 +22,7 @@ object Corpus {
     * the constant is folded into [[graft.operators.ExtractOps]]'s corpus-cache
     * fingerprint, so bumping it invalidates every materialized corpus cache
     * even if the hashed sample pages happen to be byte-identical. */
-  val GeneratorVersion = 8
+  val GeneratorVersion = 9
 
   final case class PageRow(url: String, warc_ts: java.sql.Timestamp,
                            html: Array[Byte], text: String, lang: String)
@@ -179,9 +179,11 @@ object Corpus {
       // reality), ~12% page bodies behind Form XObjects invoked via Do
       // (letterhead/stamp layouts), ~8% /Encoding dicts with /Differences
       // arrays over a WinAnsi base (the subset-font encoding override
-      // mechanism), and ~60% of scanned docs carry a REAL JPEG image
-      // XObject behind /DCTDecode — all deterministic draws of the per-doc
-      // rng
+      // mechanism), ~60% of scanned docs carry a REAL JPEG image XObject
+      // behind /DCTDecode, and ~6% are RC4-128-encrypted under the Standard
+      // Security Handler with an empty user password (real /O /U /ID key
+      // derivation; a classic xref trailer is forced when needed) — all
+      // deterministic draws of the per-doc rng
       val nPages = if (rng.nextInt(8) == 0) 2 + rng.nextInt(3) else 1
       val basePages = (1 to nPages).map(_ =>
         PdfLite.PageSpec(1700, 1200, pdfTableRuns(rng, vendor)))
@@ -203,6 +205,7 @@ object Corpus {
         if (rng.nextInt(20) == 0) 90 * (1 + rng.nextInt(3)) else 0
       val formX = rng.nextInt(8) == 0
       // ~60% of scanned docs carry real JPEG pixels behind /DCTDecode
+      val encrypted = rng.nextInt(16) == 0
       val dctImage =
         if (scanned && rng.nextInt(5) < 3) {
           val w = 96 + rng.nextInt(64)
@@ -226,7 +229,8 @@ object Corpus {
         toUnicode = toUnicode, xrefStream = xrefDraw == 2 || xrefDraw == 3,
         hexArmor = hexArmor, lzw = lzw, predictor = predictor,
         rotate = rotate, cid = cid, form = formX,
-        differences = differences, dctImage = dctImage)
+        differences = differences, dctImage = dctImage,
+        encrypt = encrypted)
       val text =
         if (scanned) "" // forces the scanned route (detect: no meaningful text)
         else pageSpecs.flatMap(_.runs).map(_.text).mkString(" ")

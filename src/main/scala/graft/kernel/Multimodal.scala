@@ -96,12 +96,27 @@ object Multimodal {
   private[kernel] def jpegBlob(rng: java.util.Random, w: Int, h: Int): Array[Byte] =
     encodeImage(rgbImage(rng, w, h), "jpg")
 
-  /** Raster dims of an image payload iff the JDK codec actually decodes it
-    * (None on corrupt/unsupported bytes, never throws). */
-  private[kernel] def imageDims(bytes: Array[Byte]): Option[(Int, Int)] =
-    try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
-      .map(img => (img.getWidth, img.getHeight))
-    catch { case _: Exception => None }
+  /** Raster dims of an image payload iff a JDK codec recognizes and header-
+    * parses it (None on corrupt/unsupported bytes, never throws). HEADER
+    * decode only — `ImageReader.getWidth` walks to the JPEG SOF / PNG IHDR
+    * without allocating a raster, which is what a routing decision needs;
+    * the full pixel decode stays on the media path ([[decode]]). A raster
+    * decode here cost ~0.7 ms + ~100 kB allocation per scanned doc in the
+    * extraction hot loop — allocation is the multithread-scaling currency
+    * (BASELINE.md round-3 lesson). */
+  private[kernel] def imageDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try { r.setInput(iis); Some((r.getWidth(0), r.getHeight(0))) }
+        finally r.dispose()
+      }
+    } catch { case _: Exception => None }
+    finally iis.close()
+  }
 
   /** GMB container: 3-byte magic, format code, u16 width/height, u8 channels,
     * then a pseudo-random payload. */

@@ -262,7 +262,13 @@ object PdfLite {
     *    chars ride the cp1252 base — one font, both decode paths;
     *  - `dctImage` makes the scanned-page image XObject carry REAL JPEG
     *    bytes behind `/Filter /DCTDecode` (instead of the bare pixel-less
-    *    marker), so the router's image sniff has actual pixels to decode. */
+    *    marker), so the router's image sniff has actual pixels to decode;
+    *  - `encrypt` applies the Standard Security Handler (V=2/R=3 RC4-128,
+    *    empty user password — [[PdfCrypt]]): every stream RC4-encrypted
+    *    under its per-object key (the xref STREAM exempt, per spec), an
+    *    `/Encrypt` dict with real `/O`/`/U` values, `/ID` in the trailer
+    *    (a classic xref table is forced if no xref form was requested —
+    *    `/Encrypt` lives in a trailer). */
   final case class JpegImage(bytes: Array[Byte], w: Int, h: Int)
   def writeDoc(pages: Seq[PageSpec], scanned: Boolean = false,
                compress: Boolean = false, tjEvery: Int = 0,
@@ -273,7 +279,8 @@ object PdfLite {
                predictor: Boolean = false, rotate: Int = 0,
                cid: Boolean = false, form: Boolean = false,
                differences: Boolean = false,
-               dctImage: Option[JpegImage] = None): Array[Byte] = {
+               dctImage: Option[JpegImage] = None,
+               encrypt: Boolean = false): Array[Byte] = {
     // CID text is emitted as hex strings only (a 2-byte code containing
     // 0x20 must not be word-split by the TJ writer); rotated pages skip TJ
     // so kerning advances stay a pure line-axis concern
@@ -293,7 +300,31 @@ object PdfLite {
     val fontObjNum = imageObjNum + (if (scanned) 1 else 0)
     val cmapObjNum = fontObjNum + 1
     val objStmNum = fontObjNum + (if (useFont) 1 else 0) + (if (toUnicode || cid) 1 else 0)
-    val xrefStmNum = objStmNum + (if (objStm) 1 else 0)
+    val encNum = objStmNum + (if (objStm) 1 else 0)
+    val xrefStmNum = encNum + (if (encrypt) 1 else 0)
+    // /Encrypt must live in a trailer — force a classic xref table when the
+    // caller picked neither xref form
+    val useXrefTable = xref || (encrypt && !xrefStream)
+
+    // Standard Security Handler material (empty user/owner password):
+    // deterministic /ID from the doc's own text, file key per Algorithm 2
+    val encO: Array[Byte] =
+      if (encrypt) PdfCrypt.oValue(Array.empty, Array.empty) else null
+    val encP = -44 // typical permission mask (print allowed); part of the key
+    val encId0: Array[Byte] =
+      if (encrypt)
+        PdfCrypt.md5(pages.flatMap(_.runs).map(_.text).mkString("|").getBytes(Latin1))
+      else null
+    val encKey: Array[Byte] =
+      if (encrypt) PdfCrypt.fileKey(Array.empty, encO, encP, encId0) else null
+    def encStream(objNum: Int, data: Array[Byte]): Array[Byte] =
+      if (encKey == null) data
+      else PdfCrypt.rc4(PdfCrypt.objKey(encKey, objNum), data)
+    def hexOf(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02X").mkString
+    val trailerEncPart =
+      if (encrypt)
+        s" /Encrypt $encNum 0 R /ID [<${hexOf(encId0)}> <${hexOf(encId0)}>]"
+      else ""
 
     // doc-local ToUnicode code assignment: the non-ASCII chars actually used
     // get codes 0x80… and the CMap publishes the mapping — the real-world
@@ -381,7 +412,7 @@ object PdfLite {
         val o = sb.length; sb.append(b).append('\n'); o }
       val header = bodies.zip(offs)
         .map { case ((n, _), o) => s"$n $o" }.mkString(" ") + "\n"
-      val data = deflate((header + sb).getBytes(Latin1))
+      val data = encStream(objStmNum, deflate((header + sb).getBytes(Latin1)))
       beginObj(objStmNum)
       put(s"$objStmNum 0 obj << /Type /ObjStm /N ${bodies.length} " +
         s"/First ${header.length} /Length ${data.length} /Filter /FlateDecode >> stream\n")
@@ -401,12 +432,13 @@ object PdfLite {
       val raw = pageContent(p, tjEv, hexEv, enc, rotate).getBytes(Latin1)
       if (form) {
         // tiny invoking stream on the page, real body in the Form XObject
-        val inv = "/Fm0 Do\n".getBytes(Latin1)
+        val inv = encStream(contObj, "/Fm0 Do\n".getBytes(Latin1))
         beginObj(contObj)
         put(s"$contObj 0 obj << /Length ${inv.length} >> stream\n")
         out.write(inv)
         put("\nendstream endobj\n")
-        val (data, filter) = encodeStream(raw)
+        val (data0, filter) = encodeStream(raw)
+        val data = encStream(formBase + i, data0)
         val formObj = formBase + i
         val uw = if (rotate == 90 || rotate == 270) p.pageH else p.pageW
         val uh = if (rotate == 90 || rotate == 270) p.pageW else p.pageH
@@ -416,7 +448,8 @@ object PdfLite {
         out.write(data)
         put("\nendstream endobj\n")
       } else {
-        val (data, filter) = encodeStream(raw)
+        val (data0, filter) = encodeStream(raw)
+        val data = encStream(contObj, data0)
         beginObj(contObj)
         put(s"$contObj 0 obj << /Length ${data.length}$filter >> stream\n")
         out.write(data)
@@ -428,11 +461,12 @@ object PdfLite {
       dctImage match {
         case Some(j) =>
           // real scanned-page pixels: a JPEG-bytes stream behind /DCTDecode
+          val jb = encStream(imageObjNum, j.bytes)
           put(s"$imageObjNum 0 obj << /Type /XObject /Subtype /Image " +
             s"/Width ${j.w} /Height ${j.h} /ColorSpace /DeviceRGB " +
             s"/BitsPerComponent 8 /Filter /DCTDecode " +
-            s"/Length ${j.bytes.length} >> stream\n")
-          out.write(j.bytes)
+            s"/Length ${jb.length} >> stream\n")
+          out.write(jb)
           put("\nendstream endobj\n")
         case None =>
           put(s"$imageObjNum 0 obj << /Type /XObject /Subtype /Image " +
@@ -495,9 +529,16 @@ object PdfLite {
           "endcmap\nend\nend\n"
         }
       beginObj(cmapObjNum)
-      put(s"$cmapObjNum 0 obj << /Length ${cmapTxt.length} >> stream\n")
-      put(cmapTxt)
+      val cmapBytes = encStream(cmapObjNum, cmapTxt.getBytes(Latin1))
+      put(s"$cmapObjNum 0 obj << /Length ${cmapBytes.length} >> stream\n")
+      out.write(cmapBytes)
       put("\nendstream endobj\n")
+    }
+    if (encrypt) {
+      beginObj(encNum)
+      put(s"$encNum 0 obj << /Filter /Standard /V 2 /R 3 /Length 128 " +
+        s"/P $encP /O <${hexOf(encO)}> " +
+        s"/U <${hexOf(PdfCrypt.uValue(encKey, encId0))}> >> endobj\n")
     }
     if (xrefStream) {
       // PDF 1.5 cross-reference stream: /W [1 4 2] big-endian rows; in-ObjStm
@@ -551,11 +592,13 @@ object PdfLite {
       val dpPart =
         if (predictor) " /DecodeParms << /Predictor 12 /Columns 7 >>" else ""
       val data = deflate(encoded)
+      // the xref stream itself is NEVER encrypted (§7.5.8.2) — readers need
+      // it to find the /Encrypt dict in the first place
       put(s"$xrefStmNum 0 obj << /Type /XRef /Size $size /W [1 4 2] " +
-        s"/Root 1 0 R /Filter /FlateDecode$dpPart /Length ${data.length} >> stream\n")
+        s"/Root 1 0 R$trailerEncPart /Filter /FlateDecode$dpPart /Length ${data.length} >> stream\n")
       out.write(data)
       put(s"\nendstream endobj\nstartxref\n$selfOff\n")
-    } else if (xref) {
+    } else if (useXrefTable) {
       val size = (offsets.keys.max max objStmNum) + 1
       val xrefOff = out.size
       put("xref\n")
@@ -565,7 +608,7 @@ object PdfLite {
         case Some(o) => put(f"$o%010d 00000 n \n")
         case None => put("0000000000 65535 f \n")
       }
-      put(s"trailer << /Size $size /Root 1 0 R >>\nstartxref\n$xrefOff\n")
+      put(s"trailer << /Size $size /Root 1 0 R$trailerEncPart >>\nstartxref\n$xrefOff\n")
     }
     put("%%EOF\n")
     out.toByteArray
@@ -1350,8 +1393,86 @@ object PdfLite {
   private[graft] def parseStructureOnly(bytes: Array[Byte]): Parsed =
     parseImpl(bytes, run = false)
 
+  private val SignedIntHerePat = java.util.regex.Pattern.compile("\\G\\s+(-?\\d+)")
+
+  /** `/Name -123` signed integer value (the /P permission mask is negative
+    * in virtually every real file). */
+  private def signedIntAfter(dict: String, name: String): Option[Int] = {
+    val i = dict.indexOf(name)
+    if (i < 0) return None
+    val m = SignedIntHerePat.matcher(dict)
+    m.region(i + name.length, dict.length)
+    if (m.lookingAt()) Some(m.group(1).toInt) else None
+  }
+
+  /** `/Name <hexbytes>` value. */
+  private def hexBytesAfter(dict: String, name: String): Option[Array[Byte]] = {
+    val i = dict.indexOf(name)
+    if (i < 0) return None
+    val open = dict.indexOf('<', i + name.length)
+    val close = if (open < 0) -1 else dict.indexOf('>', open)
+    if (close < 0) return None
+    val hex = dict.substring(open + 1, close).filterNot(_.isWhitespace)
+    if (hex.isEmpty || hex.length % 2 != 0 ||
+        !hex.forall(c => Character.digit(c, 16) >= 0)) return None
+    Some(hex.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray)
+  }
+
+  /** Standard-Security-Handler decryption pass (V≤2/R≤3 RC4, empty user
+    * password — [[PdfCrypt]]): when the trailer names an `/Encrypt` dict,
+    * every stream except the xref stream is RC4-decrypted IN PLACE (RC4 is
+    * length-preserving, so every object/stream offset stays valid) and the
+    * parse proceeds on the plaintext view. Out-of-scope handlers (AES,
+    * R≥4, non-Standard filters) and a failed `/U` check (a real user
+    * password we don't have) leave the bytes untouched — the parse then
+    * recovers nothing readable, which is the honest result. */
+  private def decryptIfNeeded(s0: String): String = {
+    val ei = s0.lastIndexOf("/Encrypt")
+    if (ei < 0) return s0
+    try {
+      val encRef = refOf(s0.substring(ei, math.min(s0.length, ei + 48)), "/Encrypt")
+        .getOrElse(return s0)
+      val objs = scanObjects(s0)
+      val encObj = objs.find(_.num == encRef).getOrElse(return s0)
+      val d = encObj.dict
+      if (!d.contains("/Standard")) return s0
+      val v = intAfter(d, "/V").getOrElse(1)
+      val r = intAfter(d, "/R").getOrElse(2)
+      if (v > 2 || r > 3) return s0 // AES-era handlers out of scope
+      val p = signedIntAfter(d, "/P").getOrElse(-1)
+      val o = hexBytesAfter(d, "/O").getOrElse(return s0)
+      // /ID [<hex> <hex>] — first element feeds the key derivation
+      val idAt = s0.lastIndexOf("/ID")
+      if (idAt < 0) return s0
+      val id0 = hexBytesAfter(s0.substring(idAt, math.min(s0.length, idAt + 200)), "/ID")
+        .getOrElse(return s0)
+      val key = PdfCrypt.fileKey(Array.empty, o, p, id0)
+      // /U check: 16 significant bytes; mismatch = a real (non-empty) user
+      // password — nothing to decrypt with
+      val uOk = hexBytesAfter(d, "/U").forall(u =>
+        u.take(16).sameElements(PdfCrypt.uValue(key, id0).take(16)))
+      if (!uOk) return s0
+      val chars = s0.toCharArray
+      for (ob <- objs
+           if ob.hasStream && ob.num != encRef &&
+             !ob.dict.contains("/Type /XRef")) {
+        val k = PdfCrypt.objKey(key, ob.num)
+        val n = ob.streamEnd - ob.streamStart
+        if (n > 0) {
+          val data = new Array[Byte](n)
+          var i = 0
+          while (i < n) { data(i) = chars(ob.streamStart + i).toByte; i += 1 }
+          val dec = PdfCrypt.rc4(k, data)
+          i = 0
+          while (i < n) { chars(ob.streamStart + i) = (dec(i) & 0xff).toChar; i += 1 }
+        }
+      }
+      new String(chars)
+    } catch { case scala.util.control.NonFatal(_) => s0 }
+  }
+
   private def parseImpl(bytes: Array[Byte], run: Boolean): Parsed = {
-    val s = new String(bytes, Latin1)
+    val s = decryptIfNeeded(new String(bytes, Latin1))
     val objs = scanObjects(s)
     // image sniff (feeds the router's scanned detection): a bare
     // `/Subtype /Image` marker counts, but a `/DCTDecode` image must

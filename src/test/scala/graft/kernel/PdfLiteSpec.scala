@@ -553,4 +553,44 @@ class PdfLiteSpec extends AnyFunSuite {
     assert(PdfLite.parse(doc(None)).hasImage,
       "the bare pixel-less marker keeps its sniff value")
   }
+
+  test("RC4 Standard Security Handler: encrypted docs round-trip, ciphertext on the wire") {
+    val pages = (1 to 2).map(p => PdfLite.PageSpec(800, 1000, runsOf(p, 100 + 10 * p)))
+    val plainDoc = PdfLite.writeDoc(pages)
+    val encDoc = PdfLite.writeDoc(pages, encrypt = true)
+    val raw = new String(encDoc, StandardCharsets.ISO_8859_1)
+    assert(raw.contains("/Encrypt") && raw.contains("/Standard") &&
+      raw.contains("/ID ["), "the security-handler plumbing must be on the wire")
+    assert(!raw.contains("alpha p1"), "stream content must be ciphertext")
+    assert(PdfLite.parse(encDoc).items == PdfLite.parse(plainDoc).items)
+  }
+
+  test("encryption composes with Flate, ToUnicode CMaps, ObjStm and xref streams") {
+    val memo = "m\u00e9mo \u2014 \u201cnet \u20ac42\u201d"
+    val pages = Seq(PdfLite.PageSpec(800, 1000,
+      runsOf(1, 120) :+ PdfLite.Run(40, 900, 9, memo)))
+    val plain = PdfLite.parse(PdfLite.writeDoc(pages, compress = true, toUnicode = true))
+    val enc1 = PdfLite.parse(PdfLite.writeDoc(pages, compress = true,
+      toUnicode = true, encrypt = true))
+    assert(enc1.items == plain.items, "encrypt + Flate + CMap")
+    val enc2 = PdfLite.parse(PdfLite.writeDoc(pages, compress = true,
+      toUnicode = true, encrypt = true, objStm = true, xrefStream = true,
+      predictor = true))
+    assert(enc2.items == plain.items, "encrypt + ObjStm + xref stream + predictor")
+  }
+
+  test("a real (non-empty) user password leaves the bytes undecryptable, never throws") {
+    val doc = PdfLite.writeDoc(
+      Seq(PdfLite.PageSpec(800, 1000, runsOf(1, 120))), encrypt = true)
+    // tamper the /U check value: simulates a file keyed to a password we
+    // don't have — the parser must leave the streams encrypted
+    val raw = new String(doc, StandardCharsets.ISO_8859_1)
+    val ui = raw.indexOf("/U <")
+    val tampered = (raw.substring(0, ui + 4) +
+      (if (raw.charAt(ui + 4) == '0') '1' else '0') +
+      raw.substring(ui + 5)).getBytes(StandardCharsets.ISO_8859_1)
+    val parsed = PdfLite.parse(tampered) // must not throw
+    assert(!parsed.items.exists(_.text.contains("alpha")),
+      "undecryptable streams must not yield plaintext items")
+  }
 }
