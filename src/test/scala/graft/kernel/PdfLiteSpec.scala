@@ -579,6 +579,34 @@ class PdfLiteSpec extends AnyFunSuite {
     assert(enc2.items == plain.items, "encrypt + ObjStm + xref stream + predictor")
   }
 
+  test("damaged-file reconstruction: corrupt xref offsets, bogus startxref, stripped trailer") {
+    val pages = (1 to 2).map(p => PdfLite.PageSpec(800, 1000, runsOf(p, 100 + 10 * p)))
+    val pristine = PdfLite.parse(PdfLite.writeDoc(pages, compress = true, xref = true))
+    val raw = new String(PdfLite.writeDoc(pages, compress = true, xref = true),
+      StandardCharsets.ISO_8859_1)
+
+    // (a) every 10-digit xref entry offset zeroed: offsets point at byte 0 —
+    // objAt finds no matching object there, so the linear scan must win
+    val xi = raw.indexOf("\nxref\n")
+    val zeroed = raw.substring(0, xi) +
+      raw.substring(xi).replaceAll("\\d{10}", "0000000000")
+    assert(PdfLite.parse(zeroed.getBytes(StandardCharsets.ISO_8859_1)).items ==
+      pristine.items, "zeroed xref entry offsets")
+
+    // (b) startxref pointing into the void (past EOF)
+    val sxi = raw.lastIndexOf("startxref")
+    val bogus = raw.substring(0, sxi) + s"startxref\n${raw.length + 999}\n%%EOF\n"
+    assert(PdfLite.parse(bogus.getBytes(StandardCharsets.ISO_8859_1)).items ==
+      pristine.items, "bogus startxref target")
+
+    // (c) file truncated right after the last endobj: no xref, no trailer,
+    // no /Root — page order recovers from the first Pages node in file order
+    val cut = raw.lastIndexOf("endobj") + "endobj".length
+    val headless = raw.substring(0, cut)
+    assert(PdfLite.parse(headless.getBytes(StandardCharsets.ISO_8859_1)).items ==
+      pristine.items, "xref+trailer stripped entirely")
+  }
+
   test("a real (non-empty) user password leaves the bytes undecryptable, never throws") {
     val doc = PdfLite.writeDoc(
       Seq(PdfLite.PageSpec(800, 1000, runsOf(1, 120))), encrypt = true)
