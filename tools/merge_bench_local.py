@@ -1,7 +1,15 @@
 #!/usr/bin/env python3
 """Assemble BENCH_LOCAL.json from bench runs.
 
-Usage: merge_bench_local.py <full_run.log> [scaling_only.log ...]
+Usage: merge_bench_local.py [--levels "local[1]:local[4]"]
+       [--forensics notes.json] <full_run.log> [scaling_only.log ...]
+
+--levels  restricts the PICK to runs measured at exactly those
+          (level_N, level_4N); runs at other levels still appear in
+          scaling_runs_considered (absolute-time ranking is only
+          meaningful within one level pair).
+--forensics  merges the given JSON object in as a "forensics" key
+          (per-run narrative notes BASELINE.md points at).
 
 Takes the headline/query/pass-rate sections from the FIRST log's JSON line
 and the extract_scaling section from the least-degraded candidate run:
@@ -40,10 +48,22 @@ def clean_pairs(sc):
 
 
 def main():
-    base = last_json_line(sys.argv[1])
+    args = sys.argv[1:]
+    levels = None
+    forensics = None
+    while args and args[0].startswith("--"):
+        if args[0] == "--levels":
+            levels = tuple(args[1].split(":", 1))
+            args = args[2:]
+        elif args[0] == "--forensics":
+            forensics = json.load(open(args[1]))
+            args = args[2:]
+        else:
+            sys.exit(f"unknown flag {args[0]}")
+    base = last_json_line(args[0])
     candidates = []
     headline_totals = []
-    for p in sys.argv[1:]:
+    for p in args:
         d = last_json_line(p)
         if d.get("queries"):
             headline_totals.append({"log": p, "total": d["value"]})
@@ -59,8 +79,13 @@ def main():
                 return 1e9
             return abs(sc["scaling_efficiency"] - trimmed)
 
+        pickable = [c for c in candidates
+                    if levels is None or
+                    (c[1].get("level_N"), c[1].get("level_4N")) == levels]
+        if not pickable:
+            sys.exit(f"no candidate matches --levels {levels}")
         ranked = sorted(
-            candidates,
+            pickable,
             key=lambda c: (c[1]["t4N_sec"], c[1]["tN_sec"],
                            agreement_gap(c[1])))
         picked_path, picked = ranked[0]
@@ -71,10 +96,13 @@ def main():
         if len(candidates) > 1:
             base["scaling_runs_considered"] = [
                 {"log": p, "clean_pairs": clean_pairs(sc),
+                 "levels": f'{sc.get("level_N")}->{sc.get("level_4N")}',
                  "scaling_efficiency": sc["scaling_efficiency"],
                  "pair_eff_trimmed": sc.get("pair_eff_trimmed"),
                  "tN_sec": sc["tN_sec"], "t4N_sec": sc["t4N_sec"]}
                 for p, sc in candidates]
+    if forensics is not None:
+        base["forensics"] = forensics
     json.dump(base, open("BENCH_LOCAL.json", "w"), indent=1)
     sc = base.get("extract_scaling")
     print("BENCH_LOCAL.json written;",
