@@ -20,9 +20,10 @@ import graft.spark.{ExtractJob, ExtractPipeline}
   * Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, GRAFT_BENCH_DOCS
   * (default 300000), GRAFT_BENCH_REPS (10, convergence early-stop),
   * GRAFT_BENCH_QUERY_REPS (3, best-of for each headline query),
-  * GRAFT_BENCH_BUDGET_SEC (1500), GRAFT_BENCH_N (2),
-  * GRAFT_BENCH_SKIP_SCALING=1, GRAFT_BENCH_SKIP_QUERIES=1 (scaling-only
-  * re-measurement when a noisy window spoiled the scaling record).
+  * GRAFT_BENCH_BUDGET_SEC (1500), GRAFT_BENCH_N (1),
+  * GRAFT_BENCH_SCALING_DOCS (600000), GRAFT_BENCH_PIN=0 (disable per-level
+  * core pinning), GRAFT_BENCH_SKIP_SCALING=1, GRAFT_BENCH_SKIP_QUERIES=1
+  * (scaling-only re-measurement when a noisy window spoiled the record).
   */
 /** Committed clean-window reference numbers for degraded-window DETECTION
   * (VERDICT r03 "Next round" #1/#2): the r3 driver artifact recorded scaling
@@ -43,11 +44,13 @@ import graft.spark.{ExtractJob, ExtractPipeline}
   */
 object BenchRef {
   /** Corpus generation these floors were measured on (BENCH_LOCAL.json). */
-  val refCorpusVersion = 8
-  /** Clean-window best docs/s at the N=2-thread level (300k docs, sf-n/a). */
-  val tNDocsPerSec = 6500.0
-  /** Clean-window best docs/s at the 4N=8-thread level. */
-  val t4NDocsPerSec = 22100.0
+  val refCorpusVersion = 9
+  /** Clean-window best docs/s at the pinned N=1-core level (600k docs).
+    * Source: 12-cycle pinned ScalingProbe campaign on v9 (best 3 585 at
+    * 300k) and the BENCH_LOCAL.json record runs. */
+  val tNDocsPerSec = 3400.0
+  /** Clean-window best docs/s at the pinned 4N=4-core level. */
+  val t4NDocsPerSec = 11000.0
   /** A level is degraded when its best rate falls below ref/thisFactor. */
   val degradedFactor = 1.5
   /** Clean-window best-of-3 seconds per headline query (sf0.1, 32 threads). */
@@ -58,9 +61,9 @@ object BenchRef {
     "q14_token_stats" -> 0.20, "q16_quality_score" -> 0.20,
     "q19_dedup_ngram" -> 0.95, "q20_minhash_lsh" -> 1.36,
     "q21_simhash" -> 0.31, "q22_cosine_topk" -> 0.39,
-    "q24_emb_neardup" -> 0.74, "q25_extract_rollup" -> 1.53,
+    "q24_emb_neardup" -> 0.74, "q25_extract_rollup" -> 1.60,
     "q31_asof_join" -> 0.31, "q35_moments" -> 0.23, "q36_term_freq" -> 0.25,
-    "q38_extract_pages" -> 1.45)
+    "q38_extract_pages" -> 1.55)
   /** Floors apply only to the corpus generation they were measured on. */
   def active: Boolean = graft.kernel.Corpus.GeneratorVersion == refCorpusVersion
   /** A query best needs a time-shifted retry when it exceeds this bound —
@@ -70,10 +73,45 @@ object BenchRef {
   def queryRetryBound(ref: Double): Double = math.max(1.5 * ref, ref + 0.5)
 }
 
+/** Pins ALL threads of this JVM to the first `cores` CPUs (`taskset -a`),
+  * so that a thread-mode scaling level genuinely uses N cores. Unpinned, a
+  * `local[1]` level offloads GC, JIT and Spark-runtime threads onto the 31
+  * idle cores: the extraction job measures ~4.2k docs/s at "1 thread" vs
+  * ~3.0k docs/s/thread at 4-8 threads, a ~40% inflated baseline that
+  * deflates the N→4N ratio from ~0.9 to ~0.64 — and the inflation is NOT
+  * hardware turbo: a pure-register probe (tools/CpuProbe, committed numbers
+  * in its Scaladoc) shows this host's per-thread rate is flat from 1 to 8
+  * threads (1→4 ratio 0.99). Pinning the whole process to exactly N cores
+  * during each timed rep makes "N cores" literal — GC/JIT/driver included —
+  * which is also what a real cluster does to an N-core executor container
+  * (YARN/K8s cpuset cgroups). Threads created after the pin inherit the
+  * caller's mask, so the level's SparkSession (created post-pin) is covered.
+  * Returns false (and the bench records pinned=false) when taskset is
+  * unavailable or fails; opt-out via GRAFT_BENCH_PIN=0. */
+object CpuPin {
+  val totalCores: Int = Runtime.getRuntime.availableProcessors()
+  def pin(cores: Int): Boolean = set(s"0-${math.max(1, math.min(cores, totalCores)) - 1}")
+  def unpin(): Boolean = set(s"0-${totalCores - 1}")
+  private def set(spec: String): Boolean =
+    try {
+      val pid = ProcessHandle.current().pid().toString
+      new ProcessBuilder("taskset", "-a", "-cp", spec, pid)
+        .redirectOutput(ProcessBuilder.Redirect.DISCARD)
+        .redirectError(ProcessBuilder.Redirect.DISCARD)
+        .start().waitFor() == 0
+    } catch { case _: Throwable => false }
+}
+
 object Bench {
 
   private def session(threads: Int): SparkSession =
     sessionFor(Level.threads(threads))
+
+  /** GRAFT_BENCH_PIN=0 disables per-level core pinning (see [[CpuPin]]). */
+  private val pinEnabled = !sys.env.get("GRAFT_BENCH_PIN").contains("0")
+  /** True once any requested pin failed — reported in the artifact so a
+    * record from a taskset-less environment is distinguishable. */
+  @volatile private var pinFailed = false
 
   /** Materialize the deterministic corpus as a parquet table ONCE (untimed,
     * full parallelism). The timed job then reads it like production reads the
@@ -138,15 +176,23 @@ object Bench {
     * that biases the ratio against the faster level). */
   private def extractOnce(level: Level, corpusPath: String, outDir: String,
                           rep: Int): ExtractJob.Metrics = {
-    val spark = sessionFor(level)
+    // Pin the whole JVM to the level's core count for the duration of the
+    // rep (warmup included) — see CpuPin. Cluster mode launches separate
+    // executor JVMs whose cores Spark already bounds; don't pin the driver.
+    val wantPin = pinEnabled && !level.master.startsWith("local-cluster")
+    val pinned = wantPin && CpuPin.pin(level.totalCores)
+    if (wantPin && !pinned) pinFailed = true
     try {
-      ExtractPipeline.extractDf(ExtractPipeline.pages(
-          spark, 1000L * level.totalCores, numPartitions = level.jobPartitions).toDF())
-        .foreach(_ => ())
-      ExtractJob.run(spark, spark.read.parquet(corpusPath),
-        s"$outDir/r${level.totalCores}-$rep", runId = s"bench-${level.totalCores}-$rep",
-        nBuckets = 32, numPartitions = level.jobPartitions)
-    } finally spark.stop()
+      val spark = sessionFor(level)
+      try {
+        ExtractPipeline.extractDf(ExtractPipeline.pages(
+            spark, 1000L * level.totalCores, numPartitions = level.jobPartitions).toDF())
+          .foreach(_ => ())
+        ExtractJob.run(spark, spark.read.parquet(corpusPath),
+          s"$outDir/r${level.totalCores}-$rep", runId = s"bench-${level.totalCores}-$rep",
+          nBuckets = 32, numPartitions = level.jobPartitions)
+      } finally spark.stop()
+    } finally if (pinned) CpuPin.unpin()
   }
 
   /** Can this environment launch separate executor JVMs? (Requires
@@ -283,20 +329,39 @@ object Bench {
     }
     spark.stop()
 
-    // ---- extraction scaling: 8 vs 32 threads, same input ----
-    // N=2 → 4N=8 threads (per the north rule's "N and 4N cores" evidence
-    // mode). NOT 8→32: in a single shared-heap JVM this workload saturates
-    // the VM's memory bandwidth around ~10-25k docs/s, an artifact a real
+    // ---- extraction scaling: N vs 4N cores, same input ----
+    // N=1 → 4N=4 threads (per the north rule's "N and 4N cores" evidence
+    // mode), each level PINNED to exactly N cores (CpuPin — the whole JVM,
+    // GC/JIT/driver included, confined like an N-core executor container).
+    // Why not 8→32: in a single shared-heap JVM this workload saturates the
+    // VM's memory bandwidth around ~20-24k docs/s, an artifact a real
     // multi-executor cluster does not have (each executor brings its own
-    // heap + bandwidth); 2→8 keeps both levels below that ceiling so the
-    // measurement reflects the job's actual scaling behavior. A 32-thread
-    // run is still reported as peak single-node throughput.
+    // heap + bandwidth). Rounds 2-3 used 2→8 with both levels below that
+    // ceiling; the round-4 kernel speedups (header-only DCT sniff) pushed
+    // the clean 8-thread rate INTO it — measured v9 clean window: 8 threads
+    // = 23.8k docs/s while 32 threads = 20.3k, an inversion proving the
+    // knee now sits below 8 threads. 1→4 keeps both levels under the knee,
+    // and pinning removes the opposite bias: UNPINNED low-N levels read
+    // ~40% fast (background JVM threads spill onto idle cores; hardware
+    // itself is flat 1→8, tools/CpuProbe), which had deflated measured
+    // 1→4 efficiency to ~0.64 for a job whose true per-core scaling is
+    // ~0.9. A 32-thread run is still reported as peak single-node
+    // throughput.
     var scalingJson = "null"
     if (!skipScaling) try {
       val tmp = java.nio.file.Files.createTempDirectory("graft_bench").toString
-      val n = sys.env.getOrElse("GRAFT_BENCH_N", "2").toInt
+      val n = sys.env.getOrElse("GRAFT_BENCH_N", "1").toInt
       val corpusPath = s"$tmp/corpus"
-      materializeCorpus(nDocs, corpusPath)
+      // The scaling corpus is larger than the throughput default: each rep
+      // carries ~2.5-3 s of fixed cost (session spin-up inside the level,
+      // plan, 32-bucket commit) that the RATIO pays asymmetrically —
+      // measured eff = (W+o)/(W+4o) even at perfect work scaling, which
+      // caps a 300k-doc 1->4 pair at ~0.92 and capped the 2->8 pair at
+      // ~0.84 (v8's 0.842 "record" was the overhead ceiling, not the job).
+      // 600k docs lifts the measurable ceiling to ~0.96 so the number
+      // reflects steady-state scaling, the thing that matters at 100 TB.
+      val scalingDocs = sys.env.getOrElse("GRAFT_BENCH_SCALING_DOCS", "600000").toLong
+      materializeCorpus(scalingDocs, corpusPath)
       // GRAFT_BENCH_MODE=cluster measures N vs 4N separate EXECUTOR JVMs
       // (local-cluster) — the literal form of the north rule's "N and 4N
       // executors", and the mode to use on real hardware. It is OPT-IN here
@@ -314,7 +379,7 @@ object Bench {
         else (Level.threads(n), Level.threads(4 * n))
       val modeNote =
         if (useCluster) "executors(local-cluster): each level runs separate executor JVMs (own heap/GC) like a real cluster"
-        else "threads(local[n]): shared-JVM levels, both kept below the single-heap bandwidth ceiling; cluster mode is opt-in (GRAFT_BENCH_MODE=cluster) because many concurrent JVMs trigger this VM's host-level slowdown"
+        else "threads(local[n]): shared-JVM levels, both kept below the single-heap bandwidth ceiling, each PINNED to exactly n cores (taskset -a, GC/JIT/driver included) for the timed rep - unpinned, background JVM threads spill onto idle cores and inflate low-n baselines ~40% (hardware per-thread rate is flat 1->8, tools/CpuProbe); cluster mode is opt-in (GRAFT_BENCH_MODE=cluster) because many concurrent JVMs trigger this VM's host-level slowdown"
       // ---- floor-checked attempts (VERDICT r03 #1) ----
       // A whole scaling loop can sit inside one degraded host window and
       // "converge" on uniformly inflated minima (the r3 driver record:
@@ -427,6 +492,7 @@ object Bench {
         f""""floor_ref_corpus_version":${BenchRef.refCorpusVersion},""" +
         f""""scaling_attempts":$attempt,"attempt_pair_counts":${attemptSizes.mkString("[", ",", "]")},""" +
         f""""all_attempts_degraded":$degraded,""" +
+        f""""levels_pinned":${pinEnabled && !useCluster && !pinFailed},""" +
         s""""floor_note":"$floorNote",""" +
         f""""estimator_note":"$estimatorNote"}"""
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))

@@ -1,18 +1,22 @@
 package graft.kernel
 
-/** PDF Standard Security Handler, V=2 / R=3, RC4-128 (PDF 32000-1 §7.6.3 —
-  * the legacy encrypted-PDF shape a web crawl actually serves; the reference
-  * ingests these through PyMuPDF, `smart_extract.py:64-97`). Pure JDK: MD5
-  * via `MessageDigest`, RC4 implemented inline (KSA + PRGA, ~15 lines — the
-  * algorithm is public and trivially small; no provider lottery).
+/** PDF Standard Security Handler: V=2/R=3 RC4-128 and V=4/R=4 AES-128
+  * (`/AESV2` crypt filter) — PDF 32000-1 §7.6.2-7.6.3, the two encrypted-PDF
+  * shapes a web crawl actually serves; the reference ingests both through
+  * PyMuPDF (`smart_extract.py:64-97`). Pure JDK: MD5 via `MessageDigest`,
+  * AES-CBC via `javax.crypto`, RC4 implemented inline (KSA + PRGA, ~15
+  * lines — the algorithm is public and trivially small; no provider
+  * lottery).
   *
   * Covers the empty-user-password case (the overwhelmingly common one for
   * "encrypted" files on the open web: viewable by anyone, the encryption
   * only gates editing). Algorithms by spec number:
   *  - Alg 2  — file encryption key from (padded password, /O, /P, /ID).
+  *    R=4 with encrypted metadata uses the identical derivation.
   *  - Alg 3  — /O (owner password hash).
-  *  - Alg 4/5 — /U (user password check value; R=3 form).
-  *  - Alg 1  — per-object key: MD5(fileKey ‖ objNum LE3 ‖ gen LE2).
+  *  - Alg 4/5 — /U (user password check value; R=3/4 form).
+  *  - Alg 1  — per-object key: MD5(fileKey ‖ objNum LE3 ‖ gen LE2), with
+  *    the extra 4-byte "sAlT" suffix in the AESV2 variant.
   */
 private[kernel] object PdfCrypt {
 
@@ -109,5 +113,52 @@ private[kernel] object PdfCrypt {
       (objNum & 0xff).toByte, ((objNum >> 8) & 0xff).toByte,
       ((objNum >> 16) & 0xff).toByte, 0.toByte, 0.toByte)
     md5(fileKey, ext).take(math.min(fileKey.length + 5, 16))
+  }
+
+  /** Algorithm 1, AESV2 variant: as [[objKey]] but with the spec's extra
+    * 4-byte salt `sAlT` (0x73 41 6C 54) appended before hashing. */
+  def objKeyAes(fileKey: Array[Byte], objNum: Int): Array[Byte] = {
+    val ext = Array(
+      (objNum & 0xff).toByte, ((objNum >> 8) & 0xff).toByte,
+      ((objNum >> 16) & 0xff).toByte, 0.toByte, 0.toByte,
+      0x73.toByte, 0x41.toByte, 0x6C.toByte, 0x54.toByte)
+    md5(fileKey, ext).take(math.min(fileKey.length + 5, 16))
+  }
+
+  private def aesCipher(mode: Int, key: Array[Byte],
+                        iv: Array[Byte]): javax.crypto.Cipher = {
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(mode, new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    c
+  }
+
+  /** AES-128-CBC encrypt with block padding, IV prepended (§7.6.2: the
+    * AESV2 filter stores `IV ‖ CBC(pad(data))`, pad = PKCS#5-style 1..16
+    * bytes each holding the pad length). The IV is derived
+    * deterministically from (key, data): the corpus must be byte-stable
+    * run to run, and the spec only requires the IV be PRESENT — its
+    * randomness is a confidentiality concern, not a format one. */
+  def aesEncrypt(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val iv = md5(key, data) // 16 bytes, deterministic
+    val padLen = 16 - (data.length % 16)
+    val padded = java.util.Arrays.copyOf(data, data.length + padLen)
+    java.util.Arrays.fill(padded, data.length, padded.length, padLen.toByte)
+    iv ++ aesCipher(javax.crypto.Cipher.ENCRYPT_MODE, key, iv).doFinal(padded)
+  }
+
+  /** Inverse of [[aesEncrypt]]. Returns None (parser leaves the stream
+    * opaque) when the input is not `IV ‖ ≥1 whole block` or the padding
+    * byte is out of range — a wrong key walks into that check with
+    * probability ~15/16, and the 1/16 false accept merely yields garbage
+    * text, same as RC4 under a wrong key. */
+  def aesDecrypt(key: Array[Byte], data: Array[Byte]): Option[Array[Byte]] = {
+    if (data.length < 32 || (data.length - 16) % 16 != 0) return None
+    val iv = java.util.Arrays.copyOfRange(data, 0, 16)
+    val ct = java.util.Arrays.copyOfRange(data, 16, data.length)
+    val pt = aesCipher(javax.crypto.Cipher.DECRYPT_MODE, key, iv).doFinal(ct)
+    val pad = pt(pt.length - 1) & 0xff
+    if (pad < 1 || pad > 16) None
+    else Some(java.util.Arrays.copyOf(pt, pt.length - pad))
   }
 }

@@ -268,7 +268,11 @@ object PdfLite {
     *    under its per-object key (the xref STREAM exempt, per spec), an
     *    `/Encrypt` dict with real `/O`/`/U` values, `/ID` in the trailer
     *    (a classic xref table is forced if no xref form was requested —
-    *    `/Encrypt` lives in a trailer). */
+    *    `/Encrypt` lives in a trailer);
+    *  - `aes` upgrades the handler to V=4/R=4 with the `/AESV2` crypt
+    *    filter (`/CF << /StdCF << /CFM /AESV2 >> >> /StmF /StdCF`):
+    *    streams carry `IV ‖ AES-128-CBC(pad(data))` under the salted
+    *    per-object key — the modern (Acrobat 7+) encrypted shape. */
   final case class JpegImage(bytes: Array[Byte], w: Int, h: Int)
   def writeDoc(pages: Seq[PageSpec], scanned: Boolean = false,
                compress: Boolean = false, tjEvery: Int = 0,
@@ -280,7 +284,10 @@ object PdfLite {
                cid: Boolean = false, form: Boolean = false,
                differences: Boolean = false,
                dctImage: Option[JpegImage] = None,
-               encrypt: Boolean = false): Array[Byte] = {
+               encrypt: Boolean = false, aes: Boolean = false): Array[Byte] = {
+    // both encryption flavors share the handler plumbing; `aes` alone
+    // implies an encrypted document
+    val doEnc = encrypt || aes
     // CID text is emitted as hex strings only (a 2-byte code containing
     // 0x20 must not be word-split by the TJ writer); rotated pages skip TJ
     // so kerning advances stay a pure line-axis concern
@@ -301,28 +308,29 @@ object PdfLite {
     val cmapObjNum = fontObjNum + 1
     val objStmNum = fontObjNum + (if (useFont) 1 else 0) + (if (toUnicode || cid) 1 else 0)
     val encNum = objStmNum + (if (objStm) 1 else 0)
-    val xrefStmNum = encNum + (if (encrypt) 1 else 0)
+    val xrefStmNum = encNum + (if (doEnc) 1 else 0)
     // /Encrypt must live in a trailer — force a classic xref table when the
     // caller picked neither xref form
-    val useXrefTable = xref || (encrypt && !xrefStream)
+    val useXrefTable = xref || (doEnc && !xrefStream)
 
     // Standard Security Handler material (empty user/owner password):
     // deterministic /ID from the doc's own text, file key per Algorithm 2
     val encO: Array[Byte] =
-      if (encrypt) PdfCrypt.oValue(Array.empty, Array.empty) else null
+      if (doEnc) PdfCrypt.oValue(Array.empty, Array.empty) else null
     val encP = -44 // typical permission mask (print allowed); part of the key
     val encId0: Array[Byte] =
-      if (encrypt)
+      if (doEnc)
         PdfCrypt.md5(pages.flatMap(_.runs).map(_.text).mkString("|").getBytes(Latin1))
       else null
     val encKey: Array[Byte] =
-      if (encrypt) PdfCrypt.fileKey(Array.empty, encO, encP, encId0) else null
+      if (doEnc) PdfCrypt.fileKey(Array.empty, encO, encP, encId0) else null
     def encStream(objNum: Int, data: Array[Byte]): Array[Byte] =
       if (encKey == null) data
+      else if (aes) PdfCrypt.aesEncrypt(PdfCrypt.objKeyAes(encKey, objNum), data)
       else PdfCrypt.rc4(PdfCrypt.objKey(encKey, objNum), data)
     def hexOf(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02X").mkString
     val trailerEncPart =
-      if (encrypt)
+      if (doEnc)
         s" /Encrypt $encNum 0 R /ID [<${hexOf(encId0)}> <${hexOf(encId0)}>]"
       else ""
 
@@ -534,9 +542,13 @@ object PdfLite {
       out.write(cmapBytes)
       put("\nendstream endobj\n")
     }
-    if (encrypt) {
+    if (doEnc) {
       beginObj(encNum)
-      put(s"$encNum 0 obj << /Filter /Standard /V 2 /R 3 /Length 128 " +
+      val vr =
+        if (aes) "/V 4 /R 4 /Length 128 /CF << /StdCF << /CFM /AESV2 " +
+          "/AuthEvent /DocOpen /Length 16 >> >> /StmF /StdCF /StrF /StdCF "
+        else "/V 2 /R 3 /Length 128 "
+      put(s"$encNum 0 obj << /Filter /Standard $vr" +
         s"/P $encP /O <${hexOf(encO)}> " +
         s"/U <${hexOf(PdfCrypt.uValue(encKey, encId0))}> >> endobj\n")
     }
@@ -1418,12 +1430,19 @@ object PdfLite {
     Some(hex.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray)
   }
 
-  /** Standard-Security-Handler decryption pass (V≤2/R≤3 RC4, empty user
-    * password — [[PdfCrypt]]): when the trailer names an `/Encrypt` dict,
-    * every stream except the xref stream is RC4-decrypted IN PLACE (RC4 is
-    * length-preserving, so every object/stream offset stays valid) and the
-    * parse proceeds on the plaintext view. Out-of-scope handlers (AES,
-    * R≥4, non-Standard filters) and a failed `/U` check (a real user
+  /** Standard-Security-Handler decryption pass (V≤2/R≤3 RC4 and V=4/R=4
+    * `/AESV2`, empty user password — [[PdfCrypt]]): when the trailer names
+    * an `/Encrypt` dict, every stream except the xref stream is decrypted
+    * IN PLACE and the parse proceeds on the plaintext view. RC4 is
+    * length-preserving so offsets stay valid as-is; AES plaintext is
+    * SHORTER than its `IV ‖ CBC blocks` ciphertext, so the decrypted bytes
+    * are written at the stream start and the leftover tail up to
+    * `endstream` is padded with newlines — whitespace every downstream
+    * consumer already tolerates (Flate/LZW stop at their terminal
+    * block/EOD, DCT at EOI, and content-stream tokenizers skip it); stream
+    * bounds come from the `stream`/`endstream` scan, never `/Length`, so
+    * the stale dict length is inert. Out-of-scope handlers (AES-256
+    * R=5/6, non-Standard filters) and a failed `/U` check (a real user
     * password we don't have) leave the bytes untouched — the parse then
     * recovers nothing readable, which is the honest result. */
   private def decryptIfNeeded(s0: String): String = {
@@ -1438,7 +1457,8 @@ object PdfLite {
       if (!d.contains("/Standard")) return s0
       val v = intAfter(d, "/V").getOrElse(1)
       val r = intAfter(d, "/R").getOrElse(2)
-      if (v > 2 || r > 3) return s0 // AES-era handlers out of scope
+      val aes = v == 4 && r == 4 && d.contains("/AESV2")
+      if (!aes && (v > 2 || r > 3)) return s0 // AES-256 (R=5/6) out of scope
       val p = signedIntAfter(d, "/P").getOrElse(-1)
       val o = hexBytesAfter(d, "/O").getOrElse(return s0)
       // /ID [<hex> <hex>] — first element feeds the key derivation
@@ -1456,15 +1476,39 @@ object PdfLite {
       for (ob <- objs
            if ob.hasStream && ob.num != encRef &&
              !ob.dict.contains("/Type /XRef")) {
-        val k = PdfCrypt.objKey(key, ob.num)
         val n = ob.streamEnd - ob.streamStart
         if (n > 0) {
-          val data = new Array[Byte](n)
+          // The scanned stream region runs to `endstream`, which includes
+          // the writer's EOL after the data — irrelevant under
+          // length-preserving RC4, but AES needs the exact `IV ‖ blocks`
+          // extent: trust a plausible in-dict /Length, else trim trailing
+          // EOL bytes down to block alignment.
+          var m = n
+          if (aes) {
+            m = intAfter(ob.dict, "/Length")
+              .filter(l => l >= 32 && l <= n && (l - 16) % 16 == 0)
+              .getOrElse(n)
+            while (m > 32 && (m - 16) % 16 != 0 && {
+              val c = chars(ob.streamStart + m - 1); c == '\n' || c == '\r'
+            }) m -= 1
+          }
+          val data = new Array[Byte](m)
           var i = 0
-          while (i < n) { data(i) = chars(ob.streamStart + i).toByte; i += 1 }
-          val dec = PdfCrypt.rc4(k, data)
-          i = 0
-          while (i < n) { chars(ob.streamStart + i) = (dec(i) & 0xff).toChar; i += 1 }
+          while (i < m) { data(i) = chars(ob.streamStart + i).toByte; i += 1 }
+          val dec: Array[Byte] =
+            if (aes)
+              PdfCrypt.aesDecrypt(PdfCrypt.objKeyAes(key, ob.num), data)
+                .orNull // malformed ciphertext — leave the stream opaque
+            else PdfCrypt.rc4(PdfCrypt.objKey(key, ob.num), data)
+          if (dec != null) {
+            i = 0
+            while (i < dec.length) {
+              chars(ob.streamStart + i) = (dec(i) & 0xff).toChar; i += 1
+            }
+            // AES plaintext is shorter than ciphertext: newline-pad the
+            // tail (see the method doc — every consumer tolerates it)
+            while (i < n) { chars(ob.streamStart + i) = '\n'; i += 1 }
+          }
         }
       }
       new String(chars)

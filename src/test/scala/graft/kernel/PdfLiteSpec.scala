@@ -580,31 +580,79 @@ class PdfLiteSpec extends AnyFunSuite {
   }
 
   test("damaged-file reconstruction: corrupt xref offsets, bogus startxref, stripped trailer") {
+    // The damage shapes live in PdfDamage (one source of truth — q46 runs
+    // the same transforms at fleet scale):
+    //  - xref_zeroed: every 10-digit entry offset points at byte 0 — objAt
+    //    finds no matching object there, so the linear scan must win;
+    //  - startxref_bogus: startxref pointing into the void (past EOF);
+    //  - trailer_stripped: file truncated right after the last endobj — no
+    //    xref, no trailer, no /Root; page order recovers from the first
+    //    Pages node in file order.
     val pages = (1 to 2).map(p => PdfLite.PageSpec(800, 1000, runsOf(p, 100 + 10 * p)))
-    val pristine = PdfLite.parse(PdfLite.writeDoc(pages, compress = true, xref = true))
-    val raw = new String(PdfLite.writeDoc(pages, compress = true, xref = true),
-      StandardCharsets.ISO_8859_1)
+    val doc = PdfLite.writeDoc(pages, compress = true, xref = true)
+    val pristine = PdfLite.parse(doc)
+    val vs = PdfDamage.variants(doc)
+    assert(vs.map(_._1) ==
+      Seq("startxref_bogus", "trailer_stripped", "xref_zeroed"))
+    for ((kind, dmg) <- vs)
+      assert(PdfLite.parse(dmg).items == pristine.items, kind)
 
-    // (a) every 10-digit xref entry offset zeroed: offsets point at byte 0 —
-    // objAt finds no matching object there, so the linear scan must win
-    val xi = raw.indexOf("\nxref\n")
-    val zeroed = raw.substring(0, xi) +
-      raw.substring(xi).replaceAll("\\d{10}", "0000000000")
-    assert(PdfLite.parse(zeroed.getBytes(StandardCharsets.ISO_8859_1)).items ==
-      pristine.items, "zeroed xref entry offsets")
+    // eligibility fence: encrypted docs (trailer holds the key material)
+    // and non-classic layouts produce no variants
+    assert(PdfDamage.variants(PdfLite.writeDoc(pages, encrypt = true)).isEmpty,
+      "encrypted docs are ineligible by design")
+    assert(PdfDamage.variants(PdfLite.writeDoc(pages, xrefStream = true)).isEmpty,
+      "xref-stream docs are outside the classic-table damage shapes")
+  }
 
-    // (b) startxref pointing into the void (past EOF)
-    val sxi = raw.lastIndexOf("startxref")
-    val bogus = raw.substring(0, sxi) + s"startxref\n${raw.length + 999}\n%%EOF\n"
-    assert(PdfLite.parse(bogus.getBytes(StandardCharsets.ISO_8859_1)).items ==
-      pristine.items, "bogus startxref target")
+  test("AESV2 (V=4/R=4): encrypted docs round-trip; IV+CBC ciphertext on the wire") {
+    val pages = (1 to 2).map(p => PdfLite.PageSpec(800, 1000, runsOf(p, 100 + 10 * p)))
+    val plainDoc = PdfLite.writeDoc(pages)
+    val encDoc = PdfLite.writeDoc(pages, aes = true)
+    val raw = new String(encDoc, StandardCharsets.ISO_8859_1)
+    assert(raw.contains("/AESV2") && raw.contains("/V 4 /R 4") &&
+      raw.contains("/StmF /StdCF"), "the V4 crypt-filter plumbing must be on the wire")
+    assert(!raw.contains("alpha p1"), "stream content must be ciphertext")
+    assert(PdfLite.parse(encDoc).items == PdfLite.parse(plainDoc).items)
+  }
 
-    // (c) file truncated right after the last endobj: no xref, no trailer,
-    // no /Root — page order recovers from the first Pages node in file order
-    val cut = raw.lastIndexOf("endobj") + "endobj".length
-    val headless = raw.substring(0, cut)
-    assert(PdfLite.parse(headless.getBytes(StandardCharsets.ISO_8859_1)).items ==
-      pristine.items, "xref+trailer stripped entirely")
+  test("AESV2 composes with Flate, ToUnicode CMaps, ObjStm and xref streams") {
+    val memo = "mémo — “net €42”"
+    val pages = Seq(PdfLite.PageSpec(800, 1000,
+      runsOf(1, 120) :+ PdfLite.Run(40, 900, 9, memo)))
+    val plain = PdfLite.parse(PdfLite.writeDoc(pages, compress = true, toUnicode = true))
+    val enc1 = PdfLite.parse(PdfLite.writeDoc(pages, compress = true,
+      toUnicode = true, aes = true))
+    assert(enc1.items == plain.items, "aes + Flate + CMap")
+    val enc2 = PdfLite.parse(PdfLite.writeDoc(pages, compress = true,
+      toUnicode = true, aes = true, objStm = true, xrefStream = true,
+      predictor = true))
+    assert(enc2.items == plain.items, "aes + ObjStm + xref stream + predictor")
+  }
+
+  test("AES primitive: pad/unpad round-trips every residue class, rejects malformed") {
+    val key = Array.tabulate[Byte](16)(i => (i * 7 + 3).toByte)
+    for (n <- Seq(0, 1, 15, 16, 17, 31, 32, 100)) {
+      val data = Array.tabulate[Byte](n)(i => (i * 13).toByte)
+      val ct = PdfCrypt.aesEncrypt(key, data)
+      assert(ct.length == 16 + ((n / 16) + 1) * 16, s"IV + whole blocks for n=$n")
+      assert(PdfCrypt.aesDecrypt(key, ct).exists(_.sameElements(data)), s"roundtrip n=$n")
+    }
+    assert(PdfCrypt.aesDecrypt(key, new Array[Byte](16)).isEmpty, "IV alone")
+    assert(PdfCrypt.aesDecrypt(key, new Array[Byte](40)).isEmpty, "ragged length")
+  }
+
+  test("a real (non-empty) user password leaves an AESV2 doc opaque, never throws") {
+    val doc = PdfLite.writeDoc(
+      Seq(PdfLite.PageSpec(800, 1000, runsOf(1, 120))), aes = true)
+    val raw = new String(doc, StandardCharsets.ISO_8859_1)
+    val ui = raw.indexOf("/U <")
+    val tampered = (raw.substring(0, ui + 4) +
+      (if (raw.charAt(ui + 4) == '0') '1' else '0') +
+      raw.substring(ui + 5)).getBytes(StandardCharsets.ISO_8859_1)
+    val parsed = PdfLite.parse(tampered) // must not throw
+    assert(!parsed.items.exists(_.text.contains("alpha")),
+      "undecryptable streams must not yield plaintext items")
   }
 
   test("a real (non-empty) user password leaves the bytes undecryptable, never throws") {
