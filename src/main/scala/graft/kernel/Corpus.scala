@@ -22,7 +22,7 @@ object Corpus {
     * the constant is folded into [[graft.operators.ExtractOps]]'s corpus-cache
     * fingerprint, so bumping it invalidates every materialized corpus cache
     * even if the hashed sample pages happen to be byte-identical. */
-  val GeneratorVersion = 9
+  val GeneratorVersion = 10
 
   final case class PageRow(url: String, warc_ts: java.sql.Timestamp,
                            html: Array[Byte], text: String, lang: String)
@@ -180,10 +180,12 @@ object Corpus {
       // (letterhead/stamp layouts), ~8% /Encoding dicts with /Differences
       // arrays over a WinAnsi base (the subset-font encoding override
       // mechanism), ~60% of scanned docs carry a REAL JPEG image XObject
-      // behind /DCTDecode, and ~6% are RC4-128-encrypted under the Standard
+      // behind /DCTDecode, and ~6% are encrypted under the Standard
       // Security Handler with an empty user password (real /O /U /ID key
-      // derivation; a classic xref trailer is forced when needed) — all
-      // deterministic draws of the per-doc rng
+      // derivation; a classic xref trailer is forced when needed) — half
+      // legacy RC4-128 V2/R3, half modern AES-128-CBC V4/R4 /AESV2, the
+      // two shapes Acrobat-era writers actually emit — all deterministic
+      // draws of the per-doc rng
       val nPages = if (rng.nextInt(8) == 0) 2 + rng.nextInt(3) else 1
       val basePages = (1 to nPages).map(_ =>
         PdfLite.PageSpec(1700, 1200, pdfTableRuns(rng, vendor)))
@@ -206,6 +208,7 @@ object Corpus {
       val formX = rng.nextInt(8) == 0
       // ~60% of scanned docs carry real JPEG pixels behind /DCTDecode
       val encrypted = rng.nextInt(16) == 0
+      val aesEnc = encrypted && rng.nextInt(2) == 0
       val dctImage =
         if (scanned && rng.nextInt(5) < 3) {
           val w = 96 + rng.nextInt(64)
@@ -230,7 +233,7 @@ object Corpus {
         hexArmor = hexArmor, lzw = lzw, predictor = predictor,
         rotate = rotate, cid = cid, form = formX,
         differences = differences, dctImage = dctImage,
-        encrypt = encrypted)
+        encrypt = encrypted, aes = aesEnc)
       val text =
         if (scanned) "" // forces the scanned route (detect: no meaningful text)
         else pageSpecs.flatMap(_.runs).map(_.text).mkString(" ")
