@@ -22,7 +22,7 @@ object Corpus {
     * the constant is folded into [[graft.operators.ExtractOps]]'s corpus-cache
     * fingerprint, so bumping it invalidates every materialized corpus cache
     * even if the hashed sample pages happen to be byte-identical. */
-  val GeneratorVersion = 10
+  val GeneratorVersion = 11
 
   final case class PageRow(url: String, warc_ts: java.sql.Timestamp,
                            html: Array[Byte], text: String, lang: String)
@@ -181,11 +181,11 @@ object Corpus {
       // arrays over a WinAnsi base (the subset-font encoding override
       // mechanism), ~60% of scanned docs carry a REAL JPEG image XObject
       // behind /DCTDecode, and ~6% are encrypted under the Standard
-      // Security Handler with an empty user password (real /O /U /ID key
-      // derivation; a classic xref trailer is forced when needed) — half
-      // legacy RC4-128 V2/R3, half modern AES-128-CBC V4/R4 /AESV2, the
-      // two shapes Acrobat-era writers actually emit — all deterministic
-      // draws of the per-doc rng
+      // Security Handler with an empty user password (real key material;
+      // a classic xref trailer is forced when needed) — an even three-way
+      // split of legacy RC4-128 V2/R3, AES-128 V4/R4 /AESV2 and PDF 2.0
+      // AES-256 V5/R6 /AESV3, the shapes Acrobat-era writers actually
+      // emit — all deterministic draws of the per-doc rng
       val nPages = if (rng.nextInt(8) == 0) 2 + rng.nextInt(3) else 1
       val basePages = (1 to nPages).map(_ =>
         PdfLite.PageSpec(1700, 1200, pdfTableRuns(rng, vendor)))
@@ -208,7 +208,7 @@ object Corpus {
       val formX = rng.nextInt(8) == 0
       // ~60% of scanned docs carry real JPEG pixels behind /DCTDecode
       val encrypted = rng.nextInt(16) == 0
-      val aesEnc = encrypted && rng.nextInt(2) == 0
+      val encFlavor = if (encrypted) rng.nextInt(3) else -1 // 0 rc4, 1 aes128, 2 aes256
       val dctImage =
         if (scanned && rng.nextInt(5) < 3) {
           val w = 96 + rng.nextInt(64)
@@ -233,7 +233,7 @@ object Corpus {
         hexArmor = hexArmor, lzw = lzw, predictor = predictor,
         rotate = rotate, cid = cid, form = formX,
         differences = differences, dctImage = dctImage,
-        encrypt = encrypted, aes = aesEnc)
+        encrypt = encrypted, aes = encFlavor == 1, aes256 = encFlavor == 2)
       val text =
         if (scanned) "" // forces the scanned route (detect: no meaningful text)
         else pageSpecs.flatMap(_.runs).map(_.text).mkString(" ")

@@ -1,12 +1,13 @@
 package graft.kernel
 
-/** PDF Standard Security Handler: V=2/R=3 RC4-128 and V=4/R=4 AES-128
-  * (`/AESV2` crypt filter) — PDF 32000-1 §7.6.2-7.6.3, the two encrypted-PDF
-  * shapes a web crawl actually serves; the reference ingests both through
-  * PyMuPDF (`smart_extract.py:64-97`). Pure JDK: MD5 via `MessageDigest`,
-  * AES-CBC via `javax.crypto`, RC4 implemented inline (KSA + PRGA, ~15
-  * lines — the algorithm is public and trivially small; no provider
-  * lottery).
+/** PDF Standard Security Handler: V=2/R=3 RC4-128, V=4/R=4 AES-128
+  * (`/AESV2`) and V=5/R=6 AES-256 (`/AESV3`, PDF 2.0; R=5 read-side) —
+  * PDF 32000-1 §7.6.2-7.6.3 / ISO 32000-2 §7.6.4, the encrypted-PDF
+  * shapes a web crawl actually serves; the reference ingests all of them
+  * through PyMuPDF (`smart_extract.py:64-97`). Pure JDK: MD5/SHA-2 via
+  * `MessageDigest`, AES via `javax.crypto`, RC4 implemented inline (KSA +
+  * PRGA, ~15 lines — the algorithm is public and trivially small; no
+  * provider lottery).
   *
   * Covers the empty-user-password case (the overwhelmingly common one for
   * "encrypted" files on the open web: viewable by anyone, the encryption
@@ -160,5 +161,124 @@ private[kernel] object PdfCrypt {
     val pad = pt(pt.length - 1) & 0xff
     if (pad < 1 || pad > 16) None
     else Some(java.util.Arrays.copyOf(pt, pt.length - pad))
+  }
+
+  // ------------------------------------------------------------------
+  // V=5 AES-256 (`/AESV3` crypt filter) — ISO 32000-2 §7.6.4: R=6 (the
+  // PDF 2.0 form, iterated Algorithm 2.B hash) and R=5 (the deprecated
+  // Adobe "ExtensionLevel 3" precursor, plain SHA-256) on the read side.
+  // V5 drops per-object keys entirely: every string/stream is AES-256-CBC
+  // under the FILE key; /U carries hash‖validationSalt‖keySalt and /UE the
+  // file key wrapped under a password-derived intermediate key.
+  // ------------------------------------------------------------------
+
+  private def sha(alg: String, parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance(alg)
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  private val ZeroIv = new Array[Byte](16)
+  private def aesNoIv(mode: Int, key: Array[Byte], data: Array[Byte]): Array[Byte] =
+    aesCipher(mode, key, ZeroIv).doFinal(data)
+
+  /** Algorithm 2.B (R=6): the iterated SHA-256/384/512 + AES-128-CBC
+    * password hash. `udata` is empty for user-password hashes, the full
+    * 48-byte /U for owner-password hashes. R=5 callers pass `r5 = true`
+    * and get the single unsalted-iteration SHA-256 form. */
+  def hash2B(pw: Array[Byte], salt: Array[Byte], udata: Array[Byte],
+             r5: Boolean = false): Array[Byte] = {
+    var k = sha("SHA-256", pw, salt, udata)
+    if (r5) return k
+    var round = 0
+    var done = false
+    while (!done) {
+      // K1 = (pw ‖ K ‖ udata) repeated 64 times, AES-128-CBC-encrypted
+      // under (K[0:16], iv = K[16:32]); digest choice = sum(E[0:16]) mod 3
+      val one = new Array[Byte](pw.length + k.length + udata.length)
+      System.arraycopy(pw, 0, one, 0, pw.length)
+      System.arraycopy(k, 0, one, pw.length, k.length)
+      System.arraycopy(udata, 0, one, pw.length + k.length, udata.length)
+      val k1 = new Array[Byte](one.length * 64)
+      var i = 0
+      while (i < 64) {
+        System.arraycopy(one, 0, k1, i * one.length, one.length); i += 1
+      }
+      val e = aesCipher(javax.crypto.Cipher.ENCRYPT_MODE,
+        java.util.Arrays.copyOf(k, 16),
+        java.util.Arrays.copyOfRange(k, 16, 32)).doFinal(k1)
+      var sum = 0
+      i = 0
+      while (i < 16) { sum += e(i) & 0xff; i += 1 }
+      k = (sum % 3) match {
+        case 0 => sha("SHA-256", e)
+        case 1 => sha("SHA-384", e)
+        case _ => sha("SHA-512", e)
+      }
+      round += 1
+      done = round >= 64 && (e(e.length - 1) & 0xff) <= round - 32
+    }
+    java.util.Arrays.copyOf(k, 32)
+  }
+
+  /** The V5 file encryption key is freestanding (the spec says 32 random
+    * bytes; /UE//OE wrap it) — derived from the doc `/ID` here for the same
+    * byte-stability reason the salts are. */
+  def fileKey32(id0: Array[Byte]): Array[Byte] =
+    sha("SHA-256", id0, Array(0x6b.toByte))
+
+  /** Algorithm 8: /U (48 bytes: hash ‖ validationSalt ‖ keySalt) and /UE
+    * (file key AES-256-wrapped under the key-salt hash) for an EMPTY user
+    * password. Salts are derived deterministically from the doc `/ID` —
+    * the corpus must be byte-stable, and the spec only requires salts be
+    * present (their randomness guards password cracking, not format). */
+  def u6Values(fileKey: Array[Byte], id0: Array[Byte]): (Array[Byte], Array[Byte]) = {
+    val vs = md5(id0, Array(1.toByte)).take(8)
+    val ks = md5(id0, Array(2.toByte)).take(8)
+    val u = hash2B(Array.empty, vs, Array.empty) ++ vs ++ ks
+    val ue = aesNoIv(javax.crypto.Cipher.ENCRYPT_MODE,
+      hash2B(Array.empty, ks, Array.empty), fileKey)
+    (u, ue)
+  }
+
+  /** Algorithm 9: /O and /OE — as [[u6Values]] but the hashes fold in the
+    * full 48-byte /U (owner validation binds to the user record). */
+  def o6Values(fileKey: Array[Byte], u48: Array[Byte],
+               id0: Array[Byte]): (Array[Byte], Array[Byte]) = {
+    val vs = md5(id0, Array(3.toByte)).take(8)
+    val ks = md5(id0, Array(4.toByte)).take(8)
+    val o = hash2B(Array.empty, vs, u48) ++ vs ++ ks
+    val oe = aesNoIv(javax.crypto.Cipher.ENCRYPT_MODE,
+      hash2B(Array.empty, ks, u48), fileKey)
+    (o, oe)
+  }
+
+  /** Algorithm 10: /Perms — P sign-extended to 64 bits LE, 'T' (metadata
+    * encrypted), "adb", 4 free bytes, AES-256-ECB under the file key. */
+  def perms6(fileKey: Array[Byte], p: Int): Array[Byte] = {
+    val b = new Array[Byte](16)
+    var i = 0
+    var v = p.toLong // sign-extension supplies the spec's all-ones high word
+    while (i < 8) { b(i) = (v & 0xff).toByte; v >>= 8; i += 1 }
+    b(8) = 'T'; b(9) = 'a'; b(10) = 'd'; b(11) = 'b'
+    val c = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(fileKey, "AES"))
+    c.doFinal(b)
+  }
+
+  /** Algorithm 11 + the /UE unwrap: validate the EMPTY user password
+    * against /U and recover the 32-byte file key. None on mismatch (a real
+    * password we don't have) or malformed vectors. */
+  def fileKey6(u48: Array[Byte], ue32: Array[Byte],
+               r5: Boolean): Option[Array[Byte]] = {
+    if (u48.length < 48 || ue32.length != 32) return None
+    val hash = java.util.Arrays.copyOfRange(u48, 0, 32)
+    val vs = java.util.Arrays.copyOfRange(u48, 32, 40)
+    val ks = java.util.Arrays.copyOfRange(u48, 40, 48)
+    if (!java.security.MessageDigest.isEqual(
+          hash2B(Array.empty, vs, Array.empty, r5), hash)) None
+    else Some(aesNoIv(javax.crypto.Cipher.DECRYPT_MODE,
+      hash2B(Array.empty, ks, Array.empty, r5), ue32))
   }
 }

@@ -272,7 +272,10 @@ object PdfLite {
     *  - `aes` upgrades the handler to V=4/R=4 with the `/AESV2` crypt
     *    filter (`/CF << /StdCF << /CFM /AESV2 >> >> /StmF /StdCF`):
     *    streams carry `IV ‖ AES-128-CBC(pad(data))` under the salted
-    *    per-object key — the modern (Acrobat 7+) encrypted shape. */
+    *    per-object key — the modern (Acrobat 7+) encrypted shape;
+    *  - `aes256` upgrades to V=5/R=6 `/AESV3` (the PDF 2.0 form): streams
+    *    encrypt under the 32-byte FILE key directly, /U//UE//O//OE carry
+    *    the Algorithm-8/9 wrap vectors, /Perms the Algorithm-10 block. */
   final case class JpegImage(bytes: Array[Byte], w: Int, h: Int)
   def writeDoc(pages: Seq[PageSpec], scanned: Boolean = false,
                compress: Boolean = false, tjEvery: Int = 0,
@@ -284,10 +287,11 @@ object PdfLite {
                cid: Boolean = false, form: Boolean = false,
                differences: Boolean = false,
                dctImage: Option[JpegImage] = None,
-               encrypt: Boolean = false, aes: Boolean = false): Array[Byte] = {
-    // both encryption flavors share the handler plumbing; `aes` alone
-    // implies an encrypted document
-    val doEnc = encrypt || aes
+               encrypt: Boolean = false, aes: Boolean = false,
+               aes256: Boolean = false): Array[Byte] = {
+    // all encryption flavors share the handler plumbing; `aes`/`aes256`
+    // alone imply an encrypted document
+    val doEnc = encrypt || aes || aes256
     // CID text is emitted as hex strings only (a 2-byte code containing
     // 0x20 must not be word-split by the TJ writer); rotated pages skip TJ
     // so kerning advances stay a pure line-axis concern
@@ -314,18 +318,28 @@ object PdfLite {
     val useXrefTable = xref || (doEnc && !xrefStream)
 
     // Standard Security Handler material (empty user/owner password):
-    // deterministic /ID from the doc's own text, file key per Algorithm 2
+    // deterministic /ID from the doc's own text. V≤4: the file key DERIVES
+    // from (/O, P, /ID) per Algorithm 2; V=5: the key is freestanding and
+    // /U//UE//O//OE wrap it (Algorithms 8/9).
     val encO: Array[Byte] =
-      if (doEnc) PdfCrypt.oValue(Array.empty, Array.empty) else null
+      if (doEnc && !aes256) PdfCrypt.oValue(Array.empty, Array.empty) else null
     val encP = -44 // typical permission mask (print allowed); part of the key
     val encId0: Array[Byte] =
       if (doEnc)
         PdfCrypt.md5(pages.flatMap(_.runs).map(_.text).mkString("|").getBytes(Latin1))
       else null
     val encKey: Array[Byte] =
-      if (doEnc) PdfCrypt.fileKey(Array.empty, encO, encP, encId0) else null
+      if (!doEnc) null
+      else if (aes256) PdfCrypt.fileKey32(encId0)
+      else PdfCrypt.fileKey(Array.empty, encO, encP, encId0)
+    // V5 wrap vectors (computed once; /O binds to the full 48-byte /U)
+    val encU6: (Array[Byte], Array[Byte]) =
+      if (aes256) PdfCrypt.u6Values(encKey, encId0) else null
+    val encO6: (Array[Byte], Array[Byte]) =
+      if (aes256) PdfCrypt.o6Values(encKey, encU6._1, encId0) else null
     def encStream(objNum: Int, data: Array[Byte]): Array[Byte] =
       if (encKey == null) data
+      else if (aes256) PdfCrypt.aesEncrypt(encKey, data) // V5: file key direct
       else if (aes) PdfCrypt.aesEncrypt(PdfCrypt.objKeyAes(encKey, objNum), data)
       else PdfCrypt.rc4(PdfCrypt.objKey(encKey, objNum), data)
     def hexOf(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02X").mkString
@@ -544,13 +558,22 @@ object PdfLite {
     }
     if (doEnc) {
       beginObj(encNum)
-      val vr =
-        if (aes) "/V 4 /R 4 /Length 128 /CF << /StdCF << /CFM /AESV2 " +
-          "/AuthEvent /DocOpen /Length 16 >> >> /StmF /StdCF /StrF /StdCF "
-        else "/V 2 /R 3 /Length 128 "
-      put(s"$encNum 0 obj << /Filter /Standard $vr" +
-        s"/P $encP /O <${hexOf(encO)}> " +
-        s"/U <${hexOf(PdfCrypt.uValue(encKey, encId0))}> >> endobj\n")
+      if (aes256)
+        put(s"$encNum 0 obj << /Filter /Standard /V 5 /R 6 /Length 256 " +
+          "/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >> " +
+          "/StmF /StdCF /StrF /StdCF " +
+          s"/P $encP /O <${hexOf(encO6._1)}> /OE <${hexOf(encO6._2)}> " +
+          s"/U <${hexOf(encU6._1)}> /UE <${hexOf(encU6._2)}> " +
+          s"/Perms <${hexOf(PdfCrypt.perms6(encKey, encP))}> >> endobj\n")
+      else {
+        val vr =
+          if (aes) "/V 4 /R 4 /Length 128 /CF << /StdCF << /CFM /AESV2 " +
+            "/AuthEvent /DocOpen /Length 16 >> >> /StmF /StdCF /StrF /StdCF "
+          else "/V 2 /R 3 /Length 128 "
+        put(s"$encNum 0 obj << /Filter /Standard $vr" +
+          s"/P $encP /O <${hexOf(encO)}> " +
+          s"/U <${hexOf(PdfCrypt.uValue(encKey, encId0))}> >> endobj\n")
+      }
     }
     if (xrefStream) {
       // PDF 1.5 cross-reference stream: /W [1 4 2] big-endian rows; in-ObjStm
@@ -1430,8 +1453,9 @@ object PdfLite {
     Some(hex.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray)
   }
 
-  /** Standard-Security-Handler decryption pass (V≤2/R≤3 RC4 and V=4/R=4
-    * `/AESV2`, empty user password — [[PdfCrypt]]): when the trailer names
+  /** Standard-Security-Handler decryption pass (V≤2/R≤3 RC4, V=4/R=4
+    * `/AESV2` AES-128 and V=5/R=5|6 `/AESV3` AES-256 under the file key,
+    * empty user password — [[PdfCrypt]]): when the trailer names
     * an `/Encrypt` dict, every stream except the xref stream is decrypted
     * IN PLACE and the parse proceeds on the plaintext view. RC4 is
     * length-preserving so offsets stay valid as-is; AES plaintext is
@@ -1441,8 +1465,8 @@ object PdfLite {
     * consumer already tolerates (Flate/LZW stop at their terminal
     * block/EOD, DCT at EOI, and content-stream tokenizers skip it); stream
     * bounds come from the `stream`/`endstream` scan, never `/Length`, so
-    * the stale dict length is inert. Out-of-scope handlers (AES-256
-    * R=5/6, non-Standard filters) and a failed `/U` check (a real user
+    * the stale dict length is inert. Out-of-scope handlers (non-Standard
+    * filters, unknown revisions) and a failed `/U` check (a real user
     * password we don't have) leave the bytes untouched — the parse then
     * recovers nothing readable, which is the honest result. */
   private def decryptIfNeeded(s0: String): String = {
@@ -1458,20 +1482,32 @@ object PdfLite {
       val v = intAfter(d, "/V").getOrElse(1)
       val r = intAfter(d, "/R").getOrElse(2)
       val aes = v == 4 && r == 4 && d.contains("/AESV2")
-      if (!aes && (v > 2 || r > 3)) return s0 // AES-256 (R=5/6) out of scope
-      val p = signedIntAfter(d, "/P").getOrElse(-1)
-      val o = hexBytesAfter(d, "/O").getOrElse(return s0)
-      // /ID [<hex> <hex>] — first element feeds the key derivation
-      val idAt = s0.lastIndexOf("/ID")
-      if (idAt < 0) return s0
-      val id0 = hexBytesAfter(s0.substring(idAt, math.min(s0.length, idAt + 200)), "/ID")
-        .getOrElse(return s0)
-      val key = PdfCrypt.fileKey(Array.empty, o, p, id0)
-      // /U check: 16 significant bytes; mismatch = a real (non-empty) user
-      // password — nothing to decrypt with
-      val uOk = hexBytesAfter(d, "/U").forall(u =>
-        u.take(16).sameElements(PdfCrypt.uValue(key, id0).take(16)))
-      if (!uOk) return s0
+      // V=5: AES-256 under the file key directly — R=6 (PDF 2.0, iterated
+      // Algorithm 2.B hash) and the deprecated R=5 precursor (plain SHA-256)
+      val aes3 = v == 5 && (r == 5 || r == 6) && d.contains("/AESV3")
+      if (!aes && !aes3 && (v > 2 || r > 3)) return s0 // unknown handler
+      val key: Array[Byte] =
+        if (aes3) {
+          // /U carries hash‖salts; /UE wraps the file key (Algorithm 11)
+          val u48 = hexBytesAfter(d, "/U").getOrElse(return s0)
+          val ue = hexBytesAfter(d, "/UE").getOrElse(return s0)
+          PdfCrypt.fileKey6(u48, ue, r5 = r == 5).getOrElse(return s0)
+        } else {
+          val p = signedIntAfter(d, "/P").getOrElse(-1)
+          val o = hexBytesAfter(d, "/O").getOrElse(return s0)
+          // /ID [<hex> <hex>] — first element feeds the key derivation
+          val idAt = s0.lastIndexOf("/ID")
+          if (idAt < 0) return s0
+          val id0 = hexBytesAfter(s0.substring(idAt, math.min(s0.length, idAt + 200)), "/ID")
+            .getOrElse(return s0)
+          val k = PdfCrypt.fileKey(Array.empty, o, p, id0)
+          // /U check: 16 significant bytes; mismatch = a real (non-empty)
+          // user password — nothing to decrypt with
+          val uOk = hexBytesAfter(d, "/U").forall(u =>
+            u.take(16).sameElements(PdfCrypt.uValue(k, id0).take(16)))
+          if (!uOk) return s0
+          k
+        }
       val chars = s0.toCharArray
       for (ob <- objs
            if ob.hasStream && ob.num != encRef &&
@@ -1484,7 +1520,7 @@ object PdfLite {
           // extent: trust a plausible in-dict /Length, else trim trailing
           // EOL bytes down to block alignment.
           var m = n
-          if (aes) {
+          if (aes || aes3) {
             m = intAfter(ob.dict, "/Length")
               .filter(l => l >= 32 && l <= n && (l - 16) % 16 == 0)
               .getOrElse(n)
@@ -1496,7 +1532,9 @@ object PdfLite {
           var i = 0
           while (i < m) { data(i) = chars(ob.streamStart + i).toByte; i += 1 }
           val dec: Array[Byte] =
-            if (aes)
+            if (aes3)
+              PdfCrypt.aesDecrypt(key, data).orNull // file key direct (V5)
+            else if (aes)
               PdfCrypt.aesDecrypt(PdfCrypt.objKeyAes(key, ob.num), data)
                 .orNull // malformed ciphertext — leave the stream opaque
             else PdfCrypt.rc4(PdfCrypt.objKey(key, ob.num), data)

@@ -605,6 +605,39 @@ object ExtractOps {
       |  AS t(damage_kind, n_docs, n_recovered)
       |ORDER BY damage_kind""".stripMargin
 
+  /** q47_redact — PII-style pattern scrubbing over the distributed
+    * extraction output (the post-extraction cleanup step of a training-data
+    * pipeline): prices, dates and account numbers are counted and replaced
+    * via codegen'd `regexp_count`/`regexp_replace` column expressions —
+    * rules shared with the kernel twin ([[graft.kernel.Redact.Rules]], the
+    * contract; the ENGINES differ), whose output the committed golden
+    * records per url. Counts are computed on the progressively-redacted
+    * text exactly like the kernel applies them, so the two sides agree on
+    * any input, not just pattern-disjoint text. Plan shape: one narrow map
+    * over the extraction (no shuffle before the order/limit), same as q26. */
+  def q47Redact(spark: SparkSession, dir: String): DataFrame = {
+    val rules = graft.kernel.Redact.Rules
+    val (priceRe, dateRe, acctRe) = (rules(0)._2, rules(1)._2, rules(2)._2)
+    val t0 = col("extractedText")
+    val t1 = regexp_replace(t0, priceRe, rules(0)._3)
+    val t2 = regexp_replace(t1, dateRe, rules(1)._3)
+    val t3 = regexp_replace(t2, acctRe, rules(2)._3)
+    extracted(spark, dir)
+      .select(col("url"),
+        regexp_count(t0, lit(priceRe)).cast("int").as("n_red_price"),
+        regexp_count(t1, lit(dateRe)).cast("int").as("n_red_date"),
+        regexp_count(t2, lit(acctRe)).cast("int").as("n_red_acct"),
+        md5(t3.cast("binary")).as("redacted_md5"),
+        col("route"))
+      .orderBy(col("url"))
+      .limit(200)
+  }
+
+  val q47RedactSql: String =
+    s"""WITH g AS (${goldenDocsSql()})
+       |SELECT url, n_red_price, n_red_date, n_red_acct, redacted_md5, route
+       |FROM g ORDER BY url LIMIT 200""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_extract_rollup" -> (q25ExtractRollup _),
     "q26_extract_text_hash" -> (q26ExtractTextHash _),
@@ -619,7 +652,8 @@ object ExtractOps {
     "q43_csv_render" -> (q43CsvRender _),
     "q44_stream_windowed" -> (q44StreamWindowed _),
     "q45_template_create" -> (q45TemplateCreate _),
-    "q46_damaged_recovery" -> (q46DamagedRecovery _))
+    "q46_damaged_recovery" -> (q46DamagedRecovery _),
+    "q47_redact" -> (q47Redact _))
 
   def oracles: Map[String, String] = Map(
     "q25_extract_rollup" -> q25ExtractRollupSql,
@@ -635,5 +669,6 @@ object ExtractOps {
     "q43_csv_render" -> q43CsvRenderSql,
     "q44_stream_windowed" -> q44StreamWindowedSql,
     "q45_template_create" -> q45TemplateCreateSql,
-    "q46_damaged_recovery" -> q46DamagedRecoverySql)
+    "q46_damaged_recovery" -> q46DamagedRecoverySql,
+    "q47_redact" -> q47RedactSql)
 }

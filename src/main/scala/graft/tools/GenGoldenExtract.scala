@@ -6,7 +6,7 @@ import graft.kernel.{Corpus, Csv, Extractor, Multimodal}
 
 /** Regenerates the committed golden-extraction parquets under `data/` that
   * back the DuckDB oracles of the extraction-family catalog queries
-  * (q25/q26/q27/q29/q38). The goldens are the single-threaded kernel's output
+  * (q25/q26/q27/q29/q38/q47). The goldens are the single-threaded kernel's output
   * over the deterministic corpus — the same oracle definition as the
   * byte-identity gate — materialized so an independent engine (DuckDB) can
   * verify the distributed results by hash.
@@ -56,11 +56,14 @@ object GenGoldenExtract {
       val p = Corpus.page(i)
       val d = Extractor.extract(p.url, p.html, p.text, p.lang)
       val csv = Csv.render(d.cells)
+      val red = graft.kernel.Redact(d.extractedText)
       (i, d.url, d.route, d.vendor, d.failure, d.nItems, d.nPages,
         d.extractedText.length, md5hex(d.extractedText), d.quality.overallScore,
-        md5hex(csv), csv.length)
+        md5hex(csv), csv.length,
+        red.nPrice, red.nDate, red.nAcct, md5hex(red.text))
     }.toDF("idx", "url", "route", "vendor", "failure", "n_items", "n_pages",
-      "n_chars", "text_md5", "quality_score", "csv_md5", "csv_len")
+      "n_chars", "text_md5", "quality_score", "csv_md5", "csv_len",
+      "n_red_price", "n_red_date", "n_red_acct", "redacted_md5")
     commitSingleFile(docs.orderBy("idx"), "golden_docs.parquet")
 
     val pages = spark.range(0, n, 1, 16).flatMap { i =>

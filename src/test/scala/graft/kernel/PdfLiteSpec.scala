@@ -655,6 +655,81 @@ class PdfLiteSpec extends AnyFunSuite {
       "undecryptable streams must not yield plaintext items")
   }
 
+  test("AESV3 (V=5/R=6): AES-256 docs round-trip; wrap vectors on the wire") {
+    val pages = (1 to 2).map(p => PdfLite.PageSpec(800, 1000, runsOf(p, 100 + 10 * p)))
+    val plainDoc = PdfLite.writeDoc(pages)
+    val encDoc = PdfLite.writeDoc(pages, aes256 = true)
+    val raw = new String(encDoc, StandardCharsets.ISO_8859_1)
+    assert(raw.contains("/AESV3") && raw.contains("/V 5 /R 6") &&
+      raw.contains("/UE <") && raw.contains("/OE <") && raw.contains("/Perms <"),
+      "the V5 crypt-filter + Algorithm-8/9/10 vectors must be on the wire")
+    assert(!raw.contains("alpha p1"), "stream content must be ciphertext")
+    assert(PdfLite.parse(encDoc).items == PdfLite.parse(plainDoc).items)
+  }
+
+  test("AESV3 composes with Flate, CMaps, ObjStm and xref streams") {
+    val memo = "mémo — “net €42”"
+    val pages = Seq(PdfLite.PageSpec(800, 1000,
+      runsOf(1, 120) :+ PdfLite.Run(40, 900, 9, memo)))
+    val plain = PdfLite.parse(PdfLite.writeDoc(pages, compress = true, toUnicode = true))
+    val enc = PdfLite.parse(PdfLite.writeDoc(pages, compress = true,
+      toUnicode = true, aes256 = true, objStm = true, xrefStream = true,
+      predictor = true))
+    assert(enc.items == plain.items, "aes256 + Flate + CMap + ObjStm + xref stream")
+  }
+
+  test("Algorithm 2.B and the V5 key wrap are self-consistent; tampering rejects") {
+    val id0 = Array.tabulate[Byte](16)(i => (i * 11 + 5).toByte)
+    val fk = PdfCrypt.fileKey32(id0)
+    assert(fk.length == 32)
+    // the iterated R=6 hash must NOT degenerate to the plain R=5 SHA-256
+    val salt = Array.tabulate[Byte](8)(_.toByte)
+    assert(!PdfCrypt.hash2B(Array.empty, salt, Array.empty)
+      .sameElements(PdfCrypt.hash2B(Array.empty, salt, Array.empty, r5 = true)))
+    val (u48, ue) = PdfCrypt.u6Values(fk, id0)
+    assert(u48.length == 48 && ue.length == 32)
+    assert(PdfCrypt.fileKey6(u48, ue, r5 = false).exists(_.sameElements(fk)))
+    val bad = u48.clone(); bad(0) = (bad(0) ^ 1).toByte
+    assert(PdfCrypt.fileKey6(bad, ue, r5 = false).isEmpty, "tampered /U hash")
+    val (o48, oe) = PdfCrypt.o6Values(fk, u48, id0)
+    assert(o48.length == 48 && oe.length == 32)
+    assert(PdfCrypt.perms6(fk, -44).length == 16)
+  }
+
+  test("deprecated R=5 (plain SHA-256 hash) decrypts on the read side") {
+    // The writer emits R=6 only; synthesize the R=5 shape by recomputing
+    // the /U//UE wrap with the single-round hash for the SAME file key
+    // (stream ciphertext is key-only, so it carries over verbatim).
+    val pages = Seq(PdfLite.PageSpec(800, 1000, runsOf(1, 120)))
+    val plain = PdfLite.parse(PdfLite.writeDoc(pages))
+    val encDoc = PdfLite.writeDoc(pages, aes256 = true)
+    val raw = new String(encDoc, StandardCharsets.ISO_8859_1)
+    val id0 = {
+      val hex = raw.substring(raw.indexOf("/ID [<") + 6, raw.indexOf("/ID [<") + 38)
+      hex.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+    }
+    val fk = PdfCrypt.fileKey32(id0)
+    val vs = PdfCrypt.md5(id0, Array(1.toByte)).take(8)
+    val ks = PdfCrypt.md5(id0, Array(2.toByte)).take(8)
+    val u5 = PdfCrypt.hash2B(Array.empty, vs, Array.empty, r5 = true) ++ vs ++ ks
+    // wrap the file key under the R=5 intermediate key: AES-256-CBC, zero
+    // IV, no padding — reuse aesEncrypt's cipher via the public decrypt of
+    // its inverse is unavailable, so splice bytes through u6Values' layout
+    val ik = PdfCrypt.hash2B(Array.empty, ks, Array.empty, r5 = true)
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(ik, "AES"),
+      new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+    val ue5 = c.doFinal(fk)
+    def hexOf(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02X").mkString
+    val oldU = raw.substring(raw.indexOf("/U <") + 4, raw.indexOf("/U <") + 4 + 96)
+    val oldUe = raw.substring(raw.indexOf("/UE <") + 5, raw.indexOf("/UE <") + 5 + 64)
+    val r5doc = raw.replace("/V 5 /R 6", "/V 5 /R 5")
+      .replace(oldU, hexOf(u5)).replace(oldUe, hexOf(ue5))
+    assert(PdfLite.parse(r5doc.getBytes(StandardCharsets.ISO_8859_1)).items ==
+      plain.items, "R=5 handler decrypts")
+  }
+
   test("a real (non-empty) user password leaves the bytes undecryptable, never throws") {
     val doc = PdfLite.writeDoc(
       Seq(PdfLite.PageSpec(800, 1000, runsOf(1, 120))), encrypt = true)

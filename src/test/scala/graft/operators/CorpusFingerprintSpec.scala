@@ -67,6 +67,13 @@ class CorpusFingerprintSpec extends AnyFunSuite {
       "Identity-H CID branch not sampled")
     assert(pdfs.exists { case (_, p) => raw(p.html).contains("/Subtype /Form") },
       "Form-XObject branch not sampled")
+    assert(pdfs.exists { case (_, p) =>
+      val r = raw(p.html); r.contains("/Encrypt") && r.contains("/V 2 /R 3") },
+      "RC4-encrypted branch not sampled")
+    assert(pdfs.exists { case (_, p) => raw(p.html).contains("/AESV2") },
+      "AES-128 /AESV2 branch not sampled")
+    assert(pdfs.exists { case (_, p) => raw(p.html).contains("/AESV3") },
+      "AES-256 /AESV3 branch not sampled")
     for (v <- Seq("newark", "sysco", "test"))
       assert(pdfs.exists(_._2.url.contains(s"/$v/")), s"vendor $v not sampled")
     for (l <- Seq("en", "de", "es"))

@@ -22,13 +22,16 @@ class GoldenExtractSpec extends SparkTestBase {
       val p = Corpus.page(i)
       val d = Extractor.extract(p.url, p.html, p.text, p.lang)
       val csv = graft.kernel.Csv.render(d.cells)
+      val red = graft.kernel.Redact(d.extractedText)
       assert(r.getString(1) == d.url && r.getString(2) == d.route &&
         r.getString(3) == d.vendor && r.getString(4) == d.failure &&
         r.getInt(5) == d.nItems && r.getInt(6) == d.nPages &&
         r.getInt(7) == d.extractedText.length &&
         r.getString(8) == md5hex(d.extractedText) &&
         r.getDouble(9) == d.quality.overallScore &&
-        r.getString(10) == md5hex(csv) && r.getInt(11) == csv.length,
+        r.getString(10) == md5hex(csv) && r.getInt(11) == csv.length &&
+        r.getInt(12) == red.nPrice && r.getInt(13) == red.nDate &&
+        r.getInt(14) == red.nAcct && r.getString(15) == md5hex(red.text),
         s"idx=$i drifted from golden_docs — $hint")
     }
   }
