@@ -288,7 +288,8 @@ object PdfLite {
                differences: Boolean = false,
                dctImage: Option[JpegImage] = None,
                encrypt: Boolean = false, aes: Boolean = false,
-               aes256: Boolean = false): Array[Byte] = {
+               aes256: Boolean = false,
+               ccittImage: Option[CcittG4.Image] = None): Array[Byte] = {
     // all encryption flavors share the handler plumbing; `aes`/`aes256`
     // alone imply an encrypted document
     val doEnc = encrypt || aes || aes256
@@ -480,8 +481,8 @@ object PdfLite {
     }
     if (scanned) {
       beginObj(imageObjNum)
-      dctImage match {
-        case Some(j) =>
+      (dctImage, ccittImage) match {
+        case (Some(j), _) =>
           // real scanned-page pixels: a JPEG-bytes stream behind /DCTDecode
           val jb = encStream(imageObjNum, j.bytes)
           put(s"$imageObjNum 0 obj << /Type /XObject /Subtype /Image " +
@@ -490,7 +491,18 @@ object PdfLite {
             s"/Length ${jb.length} >> stream\n")
           out.write(jb)
           put("\nendstream endobj\n")
-        case None =>
+        case (None, Some(c)) =>
+          // bilevel fax-compressed pixels: G4 (/K -1) behind
+          // /CCITTFaxDecode; /BlackIs1 true so raster bit 1 = black
+          val cb = encStream(imageObjNum, CcittG4.encode(c))
+          put(s"$imageObjNum 0 obj << /Type /XObject /Subtype /Image " +
+            s"/Width ${c.w} /Height ${c.h} /ColorSpace /DeviceGray " +
+            s"/BitsPerComponent 1 /Filter /CCITTFaxDecode " +
+            s"/DecodeParms << /K -1 /Columns ${c.w} /Rows ${c.h} " +
+            s"/BlackIs1 true >> /Length ${cb.length} >> stream\n")
+          out.write(cb)
+          put("\nendstream endobj\n")
+        case (None, None) =>
           put(s"$imageObjNum 0 obj << /Type /XObject /Subtype /Image " +
             "/Width 800 /Height 1100 >> endobj\n")
       }
@@ -1563,17 +1575,29 @@ object PdfLite {
     // payload must not promote a text-free page to the high-confidence
     // scanned route
     val imgObjs = objs.filter(_.dict.contains("/Subtype /Image"))
+    def streamBytes(o: PdfObj): Array[Byte] = {
+      val n = o.streamEnd - o.streamStart
+      val b = new Array[Byte](math.max(0, n))
+      var k = 0
+      while (k < n) { b(k) = s.charAt(o.streamStart + k).toByte; k += 1 }
+      b
+    }
     val hasImage =
       if (imgObjs.isEmpty) s.contains("/Subtype /Image")
       else imgObjs.exists { o =>
-        if (!o.dict.contains("/DCTDecode")) true
-        else o.hasStream && {
-          val n = o.streamEnd - o.streamStart
-          val b = new Array[Byte](math.max(0, n))
-          var k = 0
-          while (k < n) { b(k) = s.charAt(o.streamStart + k).toByte; k += 1 }
-          Multimodal.imageDims(b).isDefined
+        if (o.dict.contains("/DCTDecode"))
+          o.hasStream && Multimodal.imageDims(streamBytes(o)).isDefined
+        else if (o.dict.contains("/CCITTFaxDecode")) o.hasStream && {
+          // same contract as /DCTDecode: fax-compressed pixels must
+          // actually DECODE (G4) before a text-free page may promote to
+          // the scanned route — a corrupt payload is not pixels
+          val cols = intAfter(o.dict, "/Columns")
+            .orElse(intAfter(o.dict, "/Width")).getOrElse(1728)
+          val rows = intAfter(o.dict, "/Rows")
+            .orElse(intAfter(o.dict, "/Height")).getOrElse(0)
+          rows > 0 && CcittG4.decode(streamBytes(o), cols, rows).isDefined
         }
+        else true
       }
     // resolution order (PDF semantics):
     //  1. linear scan, first definition wins — a spurious in-stream
