@@ -289,7 +289,8 @@ object PdfLite {
                dctImage: Option[JpegImage] = None,
                encrypt: Boolean = false, aes: Boolean = false,
                aes256: Boolean = false,
-               ccittImage: Option[CcittG4.Image] = None): Array[Byte] = {
+               ccittImage: Option[CcittG4.Image] = None,
+               fontFile2: Boolean = false): Array[Byte] = {
     // all encryption flavors share the handler plumbing; `aes`/`aes256`
     // alone imply an encrypted document
     val doEnc = encrypt || aes || aes256
@@ -308,10 +309,14 @@ object PdfLite {
     // formBase+i) that the tiny /Contents stream invokes via `Do`
     val formBase = 3 + 2 * pages.length
     val imageObjNum = formBase + (if (form) pages.length else 0)
-    val useFont = winAnsi || toUnicode || cid || differences
+    val useFont = winAnsi || toUnicode || cid || differences || fontFile2
     val fontObjNum = imageObjNum + (if (scanned) 1 else 0)
+    // fontFile2 mode (exclusive of toUnicode/cid/differences/winAnsi in this
+    // writer) claims the two slots after the font object for the
+    // /FontDescriptor and the /FontFile2 program stream
     val cmapObjNum = fontObjNum + 1
-    val objStmNum = fontObjNum + (if (useFont) 1 else 0) + (if (toUnicode || cid) 1 else 0)
+    val objStmNum = fontObjNum + (if (useFont) 1 else 0) +
+      (if (toUnicode || cid) 1 else 0) + (if (fontFile2) 2 else 0)
     val encNum = objStmNum + (if (objStm) 1 else 0)
     val xrefStmNum = encNum + (if (doEnc) 1 else 0)
     // /Encrypt must live in a trailer — force a classic xref table when the
@@ -374,12 +379,26 @@ object PdfLite {
         val avail = ((0x80 to 0x9f) ++ (0xc0 to 0xff)).filterNot(reserved)
         evens.zip(avail.map(_.toChar)).toMap
       }
+    // fontFile2: EVERY used char (space and '?' included) gets a scrambled
+    // byte code published ONLY through the embedded font program's
+    // cmap+post tables — no /Encoding, no /ToUnicode, no identity escape
+    // hatch; Tj bytes are meaningless without reading the sfnt
+    val ttfCode: Map[Char, Char] =
+      if (!fontFile2) Map.empty
+      else {
+        val chars = (pages.flatMap(_.runs).flatMap(_.text) :+ '?')
+          .distinct.sorted.take(0xde)
+        val pool = new scala.util.Random(987654321L)
+          .shuffle((0x21 to 0xfe).toList)
+        chars.zip(pool.map(_.toChar)).toMap
+      }
     val enc: String => String =
       if (cid) t => { // Identity-H-style: every char is its own 2-byte code
         val sb = new java.lang.StringBuilder(t.length * 2)
         t.foreach(c => sb.append(((c >> 8) & 0xff).toChar).append((c & 0xff).toChar))
         sb.toString
       }
+      else if (fontFile2) t => t.map(c => ttfCode.getOrElse(c, ttfCode('?')))
       else if (toUnicode) t => t.map(c => if (c <= 0x7e) c else codeMap.getOrElse(c, '?'))
       else if (differences) t => t.map(c =>
         if (c <= 0x7e) c
@@ -532,9 +551,30 @@ object PdfLite {
           else if (winAnsi) " /Encoding /WinAnsiEncoding"
           else ""
         val cmapPart = if (toUnicode) s" /ToUnicode $cmapObjNum 0 R" else ""
-        put(s"$fontObjNum 0 obj << /Type /Font /Subtype /Type1 " +
-          s"/BaseFont /Helvetica$encPart$cmapPart >> endobj\n")
+        if (fontFile2)
+          // symbolic TrueType, byte semantics live in the font program only
+          put(s"$fontObjNum 0 obj << /Type /Font /Subtype /TrueType " +
+            s"/BaseFont /GRAFT+Synth /FirstChar 33 /LastChar 254 " +
+            s"/FontDescriptor ${fontObjNum + 1} 0 R >> endobj\n")
+        else
+          put(s"$fontObjNum 0 obj << /Type /Font /Subtype /Type1 " +
+            s"/BaseFont /Helvetica$encPart$cmapPart >> endobj\n")
       }
+    }
+    if (fontFile2) {
+      beginObj(fontObjNum + 1)
+      put(s"${fontObjNum + 1} 0 obj << /Type /FontDescriptor " +
+        "/FontName /GRAFT+Synth /Flags 4 /ItalicAngle 0 /Ascent 800 " +
+        "/Descent -200 /CapHeight 700 /StemV 80 /FontBBox [0 -200 1000 800] " +
+        s"/FontFile2 ${fontObjNum + 2} 0 R >> endobj\n")
+      beginObj(fontObjNum + 2)
+      val ttf = TrueTypeFont.build(
+        ttfCode.toSeq.map { case (ch, code) => (code.toInt, ch) })
+      val tb = encStream(fontObjNum + 2, ttf)
+      put(s"${fontObjNum + 2} 0 obj << /Length ${tb.length} " +
+        s"/Length1 ${ttf.length} >> stream\n")
+      out.write(tb)
+      put("\nendstream endobj\n")
     }
     if (toUnicode || cid) {
       val cmapTxt =
@@ -1336,8 +1376,20 @@ object PdfLite {
             .map(o => parseCMap(streamText(s, o))).getOrElse((Map.empty[Int, String], false))
           val (baseWin, diffs) = encodingOf(fontDict, byNum)
           val winAnsi = baseWin || fontDict.contains("/WinAnsiEncoding")
-          if (winAnsi || cmap.nonEmpty || diffs.nonEmpty)
-            out += m.group(1) -> FontInfo(winAnsi, cmap, twoByte, diffs)
+          // no declared encoding anywhere: fall back to the embedded font
+          // program — /FontDescriptor → /FontFile2 → sfnt cmap(3,0)+post
+          // glyph names → Unicode (the subset-font reality; the map rides
+          // the same slot as /Differences, both are code → char)
+          val ttfDiffs: Map[Int, Char] =
+            if (winAnsi || cmap.nonEmpty || diffs.nonEmpty) Map.empty
+            else refOf(fontDict, "/FontDescriptor").flatMap(byNum.get)
+              .flatMap(d => refOf(d.dict, "/FontFile2").flatMap(byNum.get))
+              .filter(_.hasStream)
+              .map(o => TrueTypeFont.codeMap(streamText(s, o).getBytes(Latin1)))
+              .getOrElse(Map.empty)
+          val allDiffs = if (diffs.nonEmpty) diffs else ttfDiffs
+          if (winAnsi || cmap.nonEmpty || allDiffs.nonEmpty)
+            out += m.group(1) -> FontInfo(winAnsi, cmap, twoByte, allDiffs)
         }
         out.result()
       }
