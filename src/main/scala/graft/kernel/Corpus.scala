@@ -22,7 +22,7 @@ object Corpus {
     * the constant is folded into [[graft.operators.ExtractOps]]'s corpus-cache
     * fingerprint, so bumping it invalidates every materialized corpus cache
     * even if the hashed sample pages happen to be byte-identical. */
-  val GeneratorVersion = 11
+  val GeneratorVersion = 12
 
   final case class PageRow(url: String, warc_ts: java.sql.Timestamp,
                            html: Array[Byte], text: String, lang: String)
@@ -49,6 +49,28 @@ object Corpus {
       if (rng.nextInt(10) < 3) markers(rng.nextInt(markers.length))
       else wordBank(rng.nextInt(wordBank.length))
     }.mkString(" ")
+  }
+
+  /** A synthetic scanned-text bilevel page: dark word-like runs on line
+    * bands every ~9 rows (1 = black), the shape fax/JBIG2 context models
+    * are built for. Deterministic in the per-doc rng. */
+  private def bilevelPage(rng: java.util.Random, w: Int, h: Int): Array[Byte] = {
+    val r = new Array[Byte](w * h)
+    var y = 4
+    while (y < h - 4) {
+      if (y % 9 < 4) { // a 4px-tall text band
+        var x = 3 + rng.nextInt(5)
+        while (x < w - 4) {
+          val word = 4 + rng.nextInt(12) // black word run
+          val gap = 2 + rng.nextInt(5)
+          var k = 0
+          while (k < word && x + k < w - 2) { r(y * w + x + k) = 1; k += 1 }
+          x += word + gap
+        }
+      }
+      y += 1
+    }
+    r
   }
 
   private val codePrefixes = Array("FR", "DRY", "R", "MRT")
@@ -179,8 +201,14 @@ object Corpus {
       // reality), ~12% page bodies behind Form XObjects invoked via Do
       // (letterhead/stamp layouts), ~8% /Encoding dicts with /Differences
       // arrays over a WinAnsi base (the subset-font encoding override
-      // mechanism), ~60% of scanned docs carry a REAL JPEG image XObject
-      // behind /DCTDecode, and ~6% are encrypted under the Standard
+      // mechanism), ~8% embedded symbolic TrueType programs (/FontFile2 —
+      // byte semantics live in the font's cmap/post tables only, the
+      // subset-font shape), ~60% of scanned docs carry a REAL JPEG image
+      // XObject behind /DCTDecode, ~20% a G4 fax payload behind
+      // /CCITTFaxDecode and ~10% an MQ-coded generic region behind
+      // /JBIG2Decode (the remaining ~10% keep the bare /Subtype /Image
+      // marker — the low-confidence shape), and ~6% are encrypted under
+      // the Standard
       // Security Handler with an empty user password (real key material;
       // a classic xref trailer is forced when needed) — an even three-way
       // split of legacy RC4-128 V2/R3, AES-128 V4/R4 /AESV2 and PDF 2.0
@@ -194,13 +222,15 @@ object Corpus {
       val hexEvery = if (rng.nextInt(4) == 0) 4 else 0
       val xrefDraw = rng.nextInt(10) // 0-1 classic table, 2-3 xref stream
       val objStm = rng.nextInt(6) == 0
-      // 0-1 WinAnsi, 2 ToUnicode, 3 Identity-H CID, 4 Differences-over-WinAnsi
+      // 0-1 WinAnsi, 2 ToUnicode, 3 Identity-H CID, 4 Differences-over-
+      // WinAnsi, 5 embedded symbolic TrueType (/FontFile2)
       val encDraw = rng.nextInt(12)
       val hexArmor = rng.nextInt(12) == 0
       val winAnsi = encDraw <= 1
       val toUnicode = encDraw == 2
       val cid = encDraw == 3
       val differences = encDraw == 4
+      val fontFile2 = encDraw == 5
       val lzw = !compress && rng.nextInt(10) == 0
       val predictor = rng.nextInt(2) == 0 // applies only with an xref STREAM
       val rotate =
@@ -214,6 +244,19 @@ object Corpus {
           val w = 96 + rng.nextInt(64)
           val h = 128 + rng.nextInt(64)
           Some(PdfLite.JpegImage(Multimodal.jpegBlob(rng, w, h), w, h))
+        } else None
+      // the non-JPEG scanned docs split between fax-era G4, JBIG2 and the
+      // bare-marker (low-confidence) shape
+      val bilevelDraw =
+        if (scanned && dctImage.isEmpty) rng.nextInt(4) else -1
+      val ccittImage =
+        if (bilevelDraw == 0 || bilevelDraw == 1)
+          Some(CcittG4.Image(bilevelPage(rng, 112, 144), 112, 144))
+        else None
+      val jbig2Image =
+        if (bilevelDraw == 2) {
+          val r = bilevelPage(rng, 104, 136)
+          Some(Jbig2.Image(r, 104, 136))
         } else None
       val pageSpecs =
         if (!winAnsi && !toUnicode && !cid && !differences) basePages
@@ -233,7 +276,9 @@ object Corpus {
         hexArmor = hexArmor, lzw = lzw, predictor = predictor,
         rotate = rotate, cid = cid, form = formX,
         differences = differences, dctImage = dctImage,
-        encrypt = encrypted, aes = encFlavor == 1, aes256 = encFlavor == 2)
+        encrypt = encrypted, aes = encFlavor == 1, aes256 = encFlavor == 2,
+        ccittImage = ccittImage, fontFile2 = fontFile2,
+        jbig2Image = jbig2Image)
       val text =
         if (scanned) "" // forces the scanned route (detect: no meaningful text)
         else pageSpecs.flatMap(_.runs).map(_.text).mkString(" ")

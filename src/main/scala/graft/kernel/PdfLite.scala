@@ -290,7 +290,8 @@ object PdfLite {
                encrypt: Boolean = false, aes: Boolean = false,
                aes256: Boolean = false,
                ccittImage: Option[CcittG4.Image] = None,
-               fontFile2: Boolean = false): Array[Byte] = {
+               fontFile2: Boolean = false,
+               jbig2Image: Option[Jbig2.Image] = None): Array[Byte] = {
     // all encryption flavors share the handler plumbing; `aes`/`aes256`
     // alone imply an encrypted document
     val doEnc = encrypt || aes || aes256
@@ -501,6 +502,18 @@ object PdfLite {
     if (scanned) {
       beginObj(imageObjNum)
       (dctImage, ccittImage) match {
+        case (None, None) if jbig2Image.isDefined =>
+          // bilevel JBIG2-compressed pixels: embedded segment stream
+          // (page info + immediate lossless generic region) behind
+          // /JBIG2Decode; JBIG2 codes 1 = black natively
+          val g = jbig2Image.get
+          val gb = encStream(imageObjNum, Jbig2.encode(g))
+          put(s"$imageObjNum 0 obj << /Type /XObject /Subtype /Image " +
+            s"/Width ${g.w} /Height ${g.h} /ColorSpace /DeviceGray " +
+            s"/BitsPerComponent 1 /Filter /JBIG2Decode " +
+            s"/Length ${gb.length} >> stream\n")
+          out.write(gb)
+          put("\nendstream endobj\n")
         case (Some(j), _) =>
           // real scanned-page pixels: a JPEG-bytes stream behind /DCTDecode
           val jb = encStream(imageObjNum, j.bytes)
@@ -1648,6 +1661,13 @@ object PdfLite {
           val rows = intAfter(o.dict, "/Rows")
             .orElse(intAfter(o.dict, "/Height")).getOrElse(0)
           rows > 0 && CcittG4.decode(streamBytes(o), cols, rows).isDefined
+        }
+        else if (o.dict.contains("/JBIG2Decode")) o.hasStream && {
+          // same contract again: the embedded segment stream must decode
+          // (MQ-coded generic region) and agree with the declared geometry
+          val w = intAfter(o.dict, "/Width").getOrElse(0)
+          val h = intAfter(o.dict, "/Height").getOrElse(0)
+          Jbig2.decode(streamBytes(o)).exists(i => i.w == w && i.h == h)
         }
         else true
       }
