@@ -1505,6 +1505,63 @@ object PdfLite {
   private[graft] def parseStructureOnly(bytes: Array[Byte]): Parsed =
     parseImpl(bytes, run = false)
 
+  /** Writer-dialect census of one payload: a sorted comma-joined tag set
+    * naming the structural PDF features present (xref form, stream filters,
+    * encryption flavor, font encoding mechanisms, image codecs, page-tree
+    * shape) — the crawl-ops "what is actually in my corpus" operator that
+    * decides which parser tiers matter at 10^12 documents. Non-PDF payloads
+    * tag as `html`. Total: any malformed structure yields whatever tags the
+    * skeleton still shows; never throws. ObjStm containers are expanded
+    * (after decryption) so dicts hidden in compressed object streams still
+    * count. */
+  def dialect(payload: Array[Byte]): String = {
+    if (payload == null || payload.isEmpty) return "empty"
+    if (!isPdf(payload)) return "html"
+    try {
+      val raw = new String(payload, Latin1)
+      val tags = scala.collection.mutable.SortedSet.empty[String]
+      // encryption flavor lives in the plaintext /Encrypt dict
+      if (raw.contains("/Encrypt")) {
+        if (raw.contains("/AESV3")) tags += "enc:aes256"
+        else if (raw.contains("/AESV2")) tags += "enc:aes128"
+        else tags += "enc:rc4"
+      }
+      val s = decryptIfNeeded(raw)
+      val objs = scanObjects(s)
+      // dicts inside /ObjStm containers are Flate-compressed (and encrypted
+      // when the doc is): expand so their markers count too
+      val dicts = objs.map(_.dict) ++
+        expandObjStms(objs, s).valuesIterator.flatten.map(_.dict)
+      def any(marker: String, tag: String): Unit =
+        if (dicts.exists(_.contains(marker))) tags += tag
+      any("/Type /XRef", "xref:stream")
+      if (!tags.contains("xref:stream")) {
+        val xi = s.indexOf("\nxref")
+        if (xi >= 0 || s.startsWith("xref")) tags += "xref:table"
+        else tags += "xref:none"
+      }
+      any("/ObjStm", "objstm")
+      any("/FlateDecode", "flate")
+      any("/LZWDecode", "lzw")
+      any("/ASCIIHexDecode", "asciihex")
+      any("/DCTDecode", "img:jpeg")
+      any("/CCITTFaxDecode", "img:g4")
+      any("/JBIG2Decode", "img:jbig2")
+      if (dicts.exists(_.contains("/Subtype /Image")) &&
+          !tags.exists(_.startsWith("img:"))) tags += "img:marker"
+      any("/WinAnsiEncoding", "font:winansi")
+      any("/ToUnicode", "font:tounicode")
+      any("/Identity-H", "font:cid")
+      any("/Differences", "font:diffs")
+      any("/FontFile2", "font:ttf")
+      any("/Rotate", "rotate")
+      any("/Subtype /Form", "formxobj")
+      if (dicts.count(d => d.contains("/Type /Page") &&
+            !d.contains("/Type /Pages")) > 1) tags += "multipage"
+      tags.mkString(",")
+    } catch { case _: Exception => "unreadable" }
+  }
+
   private val SignedIntHerePat = java.util.regex.Pattern.compile("\\G\\s+(-?\\d+)")
 
   /** `/Name -123` signed integer value (the /P permission mask is negative

@@ -638,6 +638,28 @@ object ExtractOps {
        |SELECT url, n_red_price, n_red_date, n_red_acct, redacted_md5, route
        |FROM g ORDER BY url LIMIT 200""".stripMargin
 
+  /** q48_dialect_census — the crawl-ops format census: every corpus payload
+    * tagged with its writer dialect ([[graft.kernel.PdfLite.dialect]]: xref
+    * form, filters, encryption flavor, font mechanisms, image codecs) via
+    * the `pdf_dialect` expression, rolled up by tag set. This is the scan
+    * that sizes which parser tiers matter BEFORE a 100-TB extraction run —
+    * and it makes every corpus realism tier a driver-visible oracle row.
+    * Plan shape: one narrow expression map → two-phase hash agg; at scale
+    * the map-side combine collapses each partition to its distinct tag
+    * sets, so the shuffle carries O(dialects × partitions) rows. */
+  def q48DialectCensus(spark: SparkSession, dir: String): DataFrame =
+    corpusPages(spark, dir)
+      .select(graft.functions.PdfDialectExpr.pdfDialect(col("html")).as("dialect"))
+      .groupBy(col("dialect"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("dialect"))
+
+  val q48DialectCensusSql: String =
+    s"""WITH g AS (SELECT * FROM read_parquet('$GoldenDir/golden_dialects.parquet')
+       |  WHERE idx < $PagesPerDoc * (SELECT count(*) FROM documents))
+       |SELECT dialect, count(*) AS n_docs FROM g
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_extract_rollup" -> (q25ExtractRollup _),
     "q26_extract_text_hash" -> (q26ExtractTextHash _),
@@ -653,7 +675,8 @@ object ExtractOps {
     "q44_stream_windowed" -> (q44StreamWindowed _),
     "q45_template_create" -> (q45TemplateCreate _),
     "q46_damaged_recovery" -> (q46DamagedRecovery _),
-    "q47_redact" -> (q47Redact _))
+    "q47_redact" -> (q47Redact _),
+    "q48_dialect_census" -> (q48DialectCensus _))
 
   def oracles: Map[String, String] = Map(
     "q25_extract_rollup" -> q25ExtractRollupSql,
@@ -670,5 +693,6 @@ object ExtractOps {
     "q44_stream_windowed" -> q44StreamWindowedSql,
     "q45_template_create" -> q45TemplateCreateSql,
     "q46_damaged_recovery" -> q46DamagedRecoverySql,
-    "q47_redact" -> q47RedactSql)
+    "q47_redact" -> q47RedactSql,
+    "q48_dialect_census" -> q48DialectCensusSql)
 }

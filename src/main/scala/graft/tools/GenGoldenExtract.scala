@@ -6,7 +6,7 @@ import graft.kernel.{Corpus, Csv, Extractor, Multimodal}
 
 /** Regenerates the committed golden-extraction parquets under `data/` that
   * back the DuckDB oracles of the extraction-family catalog queries
-  * (q25/q26/q27/q29/q38/q47). The goldens are the single-threaded kernel's output
+  * (q25/q26/q27/q29/q38/q47/q48). The goldens are the single-threaded kernel's output
   * over the deterministic corpus — the same oracle definition as the
   * byte-identity gate — materialized so an independent engine (DuckDB) can
   * verify the distributed results by hash.
@@ -72,6 +72,12 @@ object GenGoldenExtract {
         .map(pe => (i, p.url, pe.page, pe.nItems, pe.text.length, md5hex(pe.text)))
     }.toDF("idx", "url", "page", "n_items", "n_chars", "text_md5")
     commitSingleFile(pages.orderBy("idx", "page"), "golden_pages.parquet")
+
+    val dialects = spark.range(0, n, 1, 16).map { i =>
+      val p = Corpus.page(i)
+      (i, p.url, graft.kernel.PdfLite.dialect(p.html))
+    }.toDF("idx", "url", "dialect")
+    commitSingleFile(dialects.orderBy("idx"), "golden_dialects.parquet")
 
     val media = spark.range(0, n, 1, 16).map { i =>
       val m = Multimodal.decode(i, Multimodal.blob(i))
