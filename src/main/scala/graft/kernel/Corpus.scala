@@ -22,7 +22,7 @@ object Corpus {
     * the constant is folded into [[graft.operators.ExtractOps]]'s corpus-cache
     * fingerprint, so bumping it invalidates every materialized corpus cache
     * even if the hashed sample pages happen to be byte-identical. */
-  val GeneratorVersion = 12
+  val GeneratorVersion = 13
 
   final case class PageRow(url: String, warc_ts: java.sql.Timestamp,
                            html: Array[Byte], text: String, lang: String)
@@ -194,8 +194,10 @@ object Corpus {
       // ~17% /ObjStm containers (type-2-located when an xref stream is
       // present), ~17% WinAnsiEncoding (cp1252-only chars), ~8% /ToUnicode
       // CMap fonts (chars beyond cp1252 entirely), ~8% ASCIIHex-armored
-      // streams, ~7% LZWDecode (the pre-Flate compressor old tools still
-      // emit), half of xref STREAMS PNG-Up predictor-encoded (the modern-
+      // streams, ~6% ASCII85-armored (never stacked with hex), ~7%
+      // LZWDecode (the pre-Flate compressor old tools still emit), ~5%
+      // RunLengthDecode on otherwise-raw streams,
+      // half of xref STREAMS PNG-Up predictor-encoded (the modern-
       // writer default), ~5% /Rotate 90/180/270 pages, ~8% Identity-H
       // composite fonts (2-byte CID codes + /ToUnicode, the CJK/subset-font
       // reality), ~12% page bodies behind Form XObjects invoked via Do
@@ -226,12 +228,16 @@ object Corpus {
       // WinAnsi, 5 embedded symbolic TrueType (/FontFile2)
       val encDraw = rng.nextInt(12)
       val hexArmor = rng.nextInt(12) == 0
+      // base-85 armor (~6%, never stacked with hex) and RunLengthDecode
+      // (~7% of otherwise-raw streams — the fax/driver-era compressor)
+      val a85Armor = !hexArmor && rng.nextInt(16) == 0
       val winAnsi = encDraw <= 1
       val toUnicode = encDraw == 2
       val cid = encDraw == 3
       val differences = encDraw == 4
       val fontFile2 = encDraw == 5
       val lzw = !compress && rng.nextInt(10) == 0
+      val rle = !compress && !lzw && rng.nextInt(14) == 0
       val predictor = rng.nextInt(2) == 0 // applies only with an xref STREAM
       val rotate =
         if (rng.nextInt(20) == 0) 90 * (1 + rng.nextInt(3)) else 0
@@ -273,7 +279,8 @@ object Corpus {
         compress = compress, tjEvery = tjEvery, hexEvery = hexEvery,
         xref = xrefDraw <= 1, objStm = objStm, winAnsi = winAnsi,
         toUnicode = toUnicode, xrefStream = xrefDraw == 2 || xrefDraw == 3,
-        hexArmor = hexArmor, lzw = lzw, predictor = predictor,
+        hexArmor = hexArmor, lzw = lzw, a85Armor = a85Armor, rle = rle,
+        predictor = predictor,
         rotate = rotate, cid = cid, form = formX,
         differences = differences, dctImage = dctImage,
         encrypt = encrypted, aes = encFlavor == 1, aes256 = encFlavor == 2,

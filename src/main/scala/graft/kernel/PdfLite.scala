@@ -215,6 +215,61 @@ object PdfLite {
     out.toByteArray
   }
 
+  /** ASCII85 encoder (writer twin of `ascii85Decode`): 4 bytes → 5 chars,
+    * an all-zero group collapses to `z`, a partial final group of n bytes
+    * emits n+1 chars, and the data is closed with `~>`. */
+  private def ascii85Encode(data: Array[Byte]): Array[Byte] = {
+    val sb = new java.lang.StringBuilder(data.length * 5 / 4 + 8)
+    var i = 0
+    while (i < data.length) {
+      val rem = math.min(4, data.length - i)
+      var v = 0L
+      var j = 0
+      while (j < 4) {
+        v = (v << 8) | (if (j < rem) data(i + j) & 0xffL else 0L)
+        j += 1
+      }
+      if (v == 0L && rem == 4) sb.append('z')
+      else {
+        val cs = new Array[Char](5)
+        var k = 4
+        while (k >= 0) { cs(k) = ('!' + (v % 85).toInt).toChar; v /= 85; k -= 1 }
+        var c = 0
+        while (c <= rem) { sb.append(cs(c)); c += 1 }
+      }
+      i += rem
+    }
+    sb.append("~>")
+    sb.toString.getBytes(Latin1)
+  }
+
+  /** RunLengthEncode (writer twin of `runLengthDecode`): runs of ≥ 3 equal
+    * bytes become `(257−len, byte)` pairs (len capped at 128); everything
+    * else is emitted as literal blocks of ≤ 128; `0x80` terminates. */
+  private def runLengthEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length + data.length / 64 + 8)
+    var i = 0
+    while (i < data.length) {
+      var run = 1
+      while (run < 128 && i + run < data.length && data(i + run) == data(i)) run += 1
+      if (run >= 3) {
+        out.write(257 - run); out.write(data(i))
+        i += run
+      } else {
+        // literal block: scan forward until a ≥3-run starts or 128 bytes
+        var end = i + run
+        while (end - i < 128 && end < data.length &&
+               !(end + 2 < data.length && data(end) == data(end + 1) && data(end) == data(end + 2)))
+          end += 1
+        out.write(end - i - 1)
+        out.write(data, i, end - i)
+        i = end
+      }
+    }
+    out.write(128)
+    out.toByteArray
+  }
+
   /** Serialize a multi-page document. `scanned = true` adds an image XObject
     * marker so the router's detect analog (`smart_extract.py:30-62`: images +
     * no meaningful text ⇒ scanned) has something to sniff; `compress` Flate-
@@ -283,6 +338,7 @@ object PdfLite {
                objStm: Boolean = false, winAnsi: Boolean = false,
                toUnicode: Boolean = false, xrefStream: Boolean = false,
                hexArmor: Boolean = false, lzw: Boolean = false,
+               a85Armor: Boolean = false, rle: Boolean = false,
                predictor: Boolean = false, rotate: Int = 0,
                cid: Boolean = false, form: Boolean = false,
                differences: Boolean = false,
@@ -424,24 +480,36 @@ object PdfLite {
       s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 $uw $uh]$rotPart " +
         s"/Contents ${4 + 2 * i} 0 R$res >>"
     }
-    // shared stream encoder: compress/lzw then optional hex armor + filter decl
+    // shared stream encoder: compress/lzw/rle then optional hex or base-85
+    // armor; /Filter lists the chain in decode order (armor first)
     def encodeStream(raw: Array[Byte]): (Array[Byte], String) = {
       val deflated =
-        if (compress) deflate(raw) else if (lzw) lzwEncode(raw) else raw
+        if (compress) deflate(raw)
+        else if (lzw) lzwEncode(raw)
+        else if (rle) runLengthEncode(raw)
+        else raw
       val data =
-        if (!hexArmor) deflated
-        else {
+        if (hexArmor) {
           val sb = new java.lang.StringBuilder(deflated.length * 2 + 1)
           deflated.foreach(b => sb.append(f"${b & 0xff}%02X"))
           sb.append('>')
           sb.toString.getBytes(Latin1)
         }
+        else if (a85Armor) ascii85Encode(deflated)
+        else deflated
       val innerFilter =
-        if (compress) "/FlateDecode" else if (lzw) "/LZWDecode" else ""
+        if (compress) "/FlateDecode"
+        else if (lzw) "/LZWDecode"
+        else if (rle) "/RunLengthDecode"
+        else ""
+      val armorFilter =
+        if (hexArmor) "/ASCIIHexDecode"
+        else if (a85Armor) "/ASCII85Decode"
+        else ""
       val filter =
-        if (hexArmor && innerFilter.nonEmpty) s" /Filter [/ASCIIHexDecode $innerFilter]"
+        if (armorFilter.nonEmpty && innerFilter.nonEmpty) s" /Filter [$armorFilter $innerFilter]"
         else if (innerFilter.nonEmpty) s" /Filter $innerFilter"
-        else if (hexArmor) " /Filter /ASCIIHexDecode"
+        else if (armorFilter.nonEmpty) s" /Filter $armorFilter"
         else ""
       (data, filter)
     }
@@ -862,6 +930,66 @@ object PdfLite {
     sb.toString
   }
 
+  /** ASCII85Decode (PDF 32000-1 §7.4.3): base-85 groups of 5 chars
+    * (`!`..`u`) → 4 bytes big-endian, `z` (only between groups) shorthand
+    * for four zero bytes, whitespace ignored, `~>` ends the data. A partial
+    * final group of n ≥ 2 chars yields n−1 bytes (virtually padded with
+    * `u`). An out-of-range char ends the data — the decode is total. */
+  private def ascii85Decode(txt: String): String = {
+    val sb = new java.lang.StringBuilder(txt.length * 4 / 5 + 4)
+    val grp = new Array[Int](5)
+    var n = 0
+    var k = 0
+    var done = false
+    def flush(cnt: Int): Unit = {
+      var v = 0L
+      var j = 0
+      while (j < 5) { v = v * 85 + (if (j < cnt) grp(j) else 84); j += 1 }
+      var sh = 24
+      var i = 0
+      while (i < cnt - 1) { sb.append(((v >>> sh) & 0xff).toChar); sh -= 8; i += 1 }
+    }
+    while (k < txt.length && !done) {
+      val ch = txt.charAt(k)
+      if (ch == '~') done = true
+      else if (ch == 'z' && n == 0) sb.append("\u0000\u0000\u0000\u0000")
+      else if (ch >= '!' && ch <= 'u') {
+        grp(n) = ch - '!'
+        n += 1
+        if (n == 5) { flush(5); n = 0 }
+      } else if (!Character.isWhitespace(ch)) done = true
+      k += 1
+    }
+    if (n >= 2) flush(n)
+    sb.toString
+  }
+
+  /** RunLengthDecode (PDF 32000-1 §7.4.5): length byte L then either L+1
+    * literal bytes (L ≤ 127) or one byte repeated 257−L times (L ≥ 129);
+    * L = 128 ends the data. Truncated input decodes as far as it goes. */
+  private def runLengthDecode(txt: String): String = {
+    val sb = new java.lang.StringBuilder(txt.length * 2 + 8)
+    var k = 0
+    var done = false
+    while (k < txt.length && !done) {
+      val l = txt.charAt(k) & 0xff
+      k += 1
+      if (l == 128) done = true
+      else if (l < 128) {
+        val cnt = math.min(l + 1, txt.length - k)
+        sb.append(txt, k, k + cnt)
+        k += cnt
+      } else if (k < txt.length) {
+        val b = txt.charAt(k)
+        k += 1
+        var i = 0
+        val cnt = 257 - l
+        while (i < cnt) { sb.append(b); i += 1 }
+      }
+    }
+    sb.toString
+  }
+
   private def inflate(s: String, from: Int, until: Int): String = {
     val n = math.max(0, until - from)
     val in = new Array[Byte](n)
@@ -1015,27 +1143,70 @@ object PdfLite {
     out.toString
   }
 
-  /** Decoded text of an object's stream ("" when none). Filter chains are
-    * applied in decode order — the only real-world combination in scope is
-    * `[/ASCIIHexDecode /FlateDecode]` (hex armor over compressed data), so
-    * AHx, when present, always unwraps before Flate. A `/DecodeParms`
-    * predictor (PNG/TIFF) is undone after decompression. */
+  private val FilterNamePat = java.util.regex.Pattern.compile("/([A-Za-z0-9]+)")
+
+  /** Ordered `/Filter` chain of an object's dict (PDF 32000-1 §7.4.1):
+    * either a single name or an array listing filters in the order they
+    * must be APPLIED to decode. Empty when the stream is stored raw. */
+  private def filterNames(dict: String): List[String] = {
+    val i = dict.indexOf("/Filter")
+    if (i < 0) return Nil
+    var k = i + "/Filter".length
+    while (k < dict.length && Character.isWhitespace(dict.charAt(k))) k += 1
+    if (k >= dict.length) Nil
+    else if (dict.charAt(k) == '[') {
+      val close = dict.indexOf(']', k)
+      if (close < 0) Nil
+      else {
+        val m = FilterNamePat.matcher(dict)
+        m.region(k, close)
+        val out = List.newBuilder[String]
+        while (m.find()) out += m.group(1)
+        out.result()
+      }
+    } else if (dict.charAt(k) == '/') {
+      val m = FilterNamePat.matcher(dict)
+      m.region(k, dict.length)
+      if (m.lookingAt()) List(m.group(1)) else Nil
+    } else Nil
+  }
+
+  /** Decoded text of an object's stream ("" when none). The `/Filter`
+    * chain is applied strictly in its declared order (§7.4.1) across the
+    * five text-capable filters real writers emit — `/FlateDecode`,
+    * `/LZWDecode`, `/ASCIIHexDecode`, `/ASCII85Decode`,
+    * `/RunLengthDecode` — so hex/base-85 armor over compression unwraps in
+    * whatever order the file states rather than an assumed one. An image
+    * or crypt filter name (`/DCTDecode`, `/CCITTFaxDecode`,
+    * `/JBIG2Decode`, …) ends decoding: those streams carry pixel data the
+    * image codecs read raw via their own path. A `/DecodeParms` predictor
+    * (PNG/TIFF) is undone after full decompression. */
   private def streamText(s: String, o: PdfObj): String = {
     if (!o.hasStream) return ""
-    val hasAHx = o.dict.contains("/ASCIIHexDecode")
-    val hasFlate = o.dict.contains("/FlateDecode")
-    val hasLzw = o.dict.contains("/LZWDecode")
-    val decompressed =
-      if (hasAHx) {
-        val hexed = asciiHexDecode(s.substring(o.streamStart, o.streamEnd))
-        if (hasFlate) inflate(hexed, 0, hexed.length)
-        else if (hasLzw) lzwDecode(hexed, 0, hexed.length)
-        else hexed
-      }
-      else if (hasFlate) inflate(s, o.streamStart, o.streamEnd)
-      else if (hasLzw) lzwDecode(s, o.streamStart, o.streamEnd)
-      else return s.substring(o.streamStart, o.streamEnd)
-    applyDecodeParms(o.dict, decompressed)
+    val chain = filterNames(o.dict)
+    if (chain.isEmpty) return s.substring(o.streamStart, o.streamEnd)
+    // fast paths: the overwhelmingly common single-filter streams decode
+    // straight out of the file string with no substring copy
+    val decoded: String = chain match {
+      case "FlateDecode" :: Nil => inflate(s, o.streamStart, o.streamEnd)
+      case "LZWDecode" :: Nil => lzwDecode(s, o.streamStart, o.streamEnd)
+      case _ =>
+        var cur = s.substring(o.streamStart, o.streamEnd)
+        var rest = chain
+        while (rest.nonEmpty) {
+          rest.head match {
+            case "FlateDecode" => cur = inflate(cur, 0, cur.length)
+            case "LZWDecode" => cur = lzwDecode(cur, 0, cur.length)
+            case "ASCIIHexDecode" => cur = asciiHexDecode(cur)
+            case "ASCII85Decode" => cur = ascii85Decode(cur)
+            case "RunLengthDecode" => cur = runLengthDecode(cur)
+            case _ => return cur // image/crypt filter: raw bytes, codec-owned
+          }
+          rest = rest.tail
+        }
+        cur
+    }
+    applyDecodeParms(o.dict, decoded)
   }
 
   /** `/Name 123` integer value. */
@@ -1544,6 +1715,8 @@ object PdfLite {
       any("/FlateDecode", "flate")
       any("/LZWDecode", "lzw")
       any("/ASCIIHexDecode", "asciihex")
+      any("/ASCII85Decode", "ascii85")
+      any("/RunLengthDecode", "rle")
       any("/DCTDecode", "img:jpeg")
       any("/CCITTFaxDecode", "img:g4")
       any("/JBIG2Decode", "img:jbig2")

@@ -327,6 +327,35 @@ class PdfLiteSpec extends AnyFunSuite {
     assert(chained.items == plain.items && chained.nPages == 3)
   }
 
+  test("ASCII85Decode: base-85 armor alone, over Flate, and over RunLength") {
+    val plain = PdfLite.parse(doc3(compress = false))
+    val pages = (1 to 3).map(p => PdfLite.PageSpec(800, 1000, runsOf(p, 100 + 10 * p)))
+    val alone = PdfLite.writeDoc(pages, a85Armor = true)
+    val s = new String(alone, StandardCharsets.ISO_8859_1)
+    assert(s.contains("/ASCII85Decode") && s.contains("~>") && !s.contains("alpha p1"))
+    assert(PdfLite.parse(alone).items == plain.items)
+    val overFlate = PdfLite.parse(PdfLite.writeDoc(pages, compress = true, a85Armor = true))
+    assert(overFlate.items == plain.items && overFlate.nPages == 3)
+    val overRle = PdfLite.parse(PdfLite.writeDoc(pages, rle = true, a85Armor = true))
+    assert(overRle.items == plain.items && overRle.nPages == 3)
+  }
+
+  test("RunLengthDecode: literal blocks, long runs, and hex armor round-trip") {
+    val plain = PdfLite.parse(doc3(compress = false))
+    val pages = (1 to 3).map(p => PdfLite.PageSpec(800, 1000, runsOf(p, 100 + 10 * p)))
+    val viaRle = PdfLite.writeDoc(pages, rle = true)
+    val s = new String(viaRle, StandardCharsets.ISO_8859_1)
+    assert(s.contains("/RunLengthDecode"))
+    assert(PdfLite.parse(viaRle).items == plain.items)
+    assert(PdfLite.parse(PdfLite.writeDoc(pages, rle = true, hexArmor = true))
+      .items == plain.items)
+    // a run-heavy page: >128-byte runs force the length cap and multi-packets
+    val runny = "x" * 400 + " mid " + "y" * 300
+    val p2 = PdfLite.parse(PdfLite.writeDoc(
+      Seq(PdfLite.PageSpec(8000, 400, Seq(PdfLite.Run(10, 50, 12, runny)))), rle = true))
+    assert(p2.items.map(_.text) == Vector(runny))
+  }
+
   test("garbage xref/startxref sections degrade to the linear scan, never throw") {
     val good = doc3(compress = false)
     val tail = "xref\n0 banana\ntrailer << /Root nope >>\nstartxref\nnotanumber\n%%EOF\n"
