@@ -85,6 +85,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ExtractPagesExpr].getName, "extract_pages"),
       (exprs: Seq[Expression]) => ExtractPagesExpr(exprs)))
     ext.injectFunction((
+      FunctionIdentifier("pdf_links"),
+      new ExpressionInfo(classOf[PdfLinksExpr].getName, "pdf_links"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "pdf_links(html)")
+        PdfLinksExpr(exprs.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("pdf_meta"),
+      new ExpressionInfo(classOf[PdfMetaExpr].getName, "pdf_meta"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "pdf_meta(html)")
+        PdfMetaExpr(exprs.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("sim_ratio"),
       new ExpressionInfo(classOf[SimRatio].getName, "sim_ratio"),
       (exprs: Seq[Expression]) => {

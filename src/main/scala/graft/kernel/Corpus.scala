@@ -22,7 +22,15 @@ object Corpus {
     * the constant is folded into [[graft.operators.ExtractOps]]'s corpus-cache
     * fingerprint, so bumping it invalidates every materialized corpus cache
     * even if the hashed sample pages happen to be byte-identical. */
-  val GeneratorVersion = 13
+  val GeneratorVersion = 14
+
+  /** Outlink + provenance pools (deterministic per-doc draws). */
+  private val LinkDomains = Vector("parts.example.com", "supplier-hub.test",
+    "docs.vendor.net", "archive.invoices.org", "cdn.statements.io")
+  private val LinkPaths = Vector("catalog", "terms", "invoice", "returns", "spec")
+  private val Producers = Vector("LibreOffice 7.4", "Microsoft Word 2019",
+    "Acrobat Distiller 21.0", "pdfTeX-1.40.25", "wkhtmltopdf 0.12.6",
+    "iText 7.2.5")
 
   final case class PageRow(url: String, warc_ts: java.sql.Timestamp,
                            html: Array[Byte], text: String, lang: String)
@@ -215,7 +223,10 @@ object Corpus {
       // a classic xref trailer is forced when needed) — an even three-way
       // split of legacy RC4-128 V2/R3, AES-128 V4/R4 /AESV2 and PDF 2.0
       // AES-256 V5/R6 /AESV3, the shapes Acrobat-era writers actually
-      // emit — all deterministic draws of the per-doc rng
+      // emit. ~12% of unencrypted docs carry 1–3 /Link annotations with
+      // /URI actions (half indirect objects, half inline dicts) and ~70%
+      // an /Info dict (title/author/producer/creation-date) — the outlink
+      // and provenance surfaces. All deterministic draws of the per-doc rng
       val nPages = if (rng.nextInt(8) == 0) 2 + rng.nextInt(3) else 1
       val basePages = (1 to nPages).map(_ =>
         PdfLite.PageSpec(1700, 1200, pdfTableRuns(rng, vendor)))
@@ -245,6 +256,23 @@ object Corpus {
       // ~60% of scanned docs carry real JPEG pixels behind /DCTDecode
       val encrypted = rng.nextInt(16) == 0
       val encFlavor = if (encrypted) rng.nextInt(3) else -1 // 0 rc4, 1 aes128, 2 aes256
+      // outlink annotations (~12%) and /Info dicts (~70%) — unencrypted docs
+      // only: this writer never encrypts literal strings (PdfLite.writeDoc)
+      val links: Seq[String] =
+        if (!encrypted && rng.nextInt(8) == 0)
+          (0 to rng.nextInt(3)).map { _ =>
+            val dom = LinkDomains(rng.nextInt(LinkDomains.length))
+            s"https://$dom/${LinkPaths(rng.nextInt(LinkPaths.length))}/${rng.nextInt(10000)}"
+          }
+        else Nil
+      val info: Option[PdfLite.DocInfo] =
+        if (!encrypted && rng.nextInt(10) < 7) {
+          val prod = Producers(rng.nextInt(Producers.length))
+          val day = 1 + rng.nextInt(28)
+          val created = f"D:202509${day}%02d${rng.nextInt(24)}%02d${rng.nextInt(60)}%02d00"
+          Some(PdfLite.DocInfo(s"$vendor statement ${rng.nextInt(1000)}",
+            s"dept-${rng.nextInt(40)}", prod, created))
+        } else None
       val dctImage =
         if (scanned && rng.nextInt(5) < 3) {
           val w = 96 + rng.nextInt(64)
@@ -285,7 +313,7 @@ object Corpus {
         differences = differences, dctImage = dctImage,
         encrypt = encrypted, aes = encFlavor == 1, aes256 = encFlavor == 2,
         ccittImage = ccittImage, fontFile2 = fontFile2,
-        jbig2Image = jbig2Image)
+        jbig2Image = jbig2Image, links = links, info = info)
       val text =
         if (scanned) "" // forces the scanned route (detect: no meaningful text)
         else pageSpecs.flatMap(_.runs).map(_.text).mkString(" ")

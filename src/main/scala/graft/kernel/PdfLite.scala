@@ -63,6 +63,12 @@ object PdfLite {
   /** One page of a document to serialize. */
   final case class PageSpec(pageW: Int, pageH: Int, runs: Seq[Run])
 
+  /** Document-information dictionary values (PDF 32000-1 §14.3.3) the
+    * writer serializes and [[docInfo]] reads back. `created` uses the
+    * ASN.1-style `D:YYYYMMDDHHmmSS` form real writers emit. */
+  final case class DocInfo(title: String, author: String,
+                           producer: String, created: String)
+
   private val Latin1 = StandardCharsets.ISO_8859_1
 
   // ---------- writer ----------
@@ -347,7 +353,9 @@ object PdfLite {
                aes256: Boolean = false,
                ccittImage: Option[CcittG4.Image] = None,
                fontFile2: Boolean = false,
-               jbig2Image: Option[Jbig2.Image] = None): Array[Byte] = {
+               jbig2Image: Option[Jbig2.Image] = None,
+               links: Seq[String] = Nil,
+               info: Option[DocInfo] = None): Array[Byte] = {
     // all encryption flavors share the handler plumbing; `aes`/`aes256`
     // alone imply an encrypted document
     val doEnc = encrypt || aes || aes256
@@ -372,8 +380,19 @@ object PdfLite {
     // writer) claims the two slots after the font object for the
     // /FontDescriptor and the /FontFile2 program stream
     val cmapObjNum = fontObjNum + 1
-    val objStmNum = fontObjNum + (if (useFont) 1 else 0) +
+    // link annotations: even-indexed links become indirect /Annot objects,
+    // odd-indexed ones ride inline in the page's /Annots array — both legal
+    // layouts real writers emit. NOTE: /URI and /Info values are literal
+    // strings, which THIS writer never encrypts — callers combining
+    // `links`/`info` with encryption would produce a spec-invalid hybrid,
+    // so the corpus draws them only for unencrypted documents.
+    val annotBase = fontObjNum + (if (useFont) 1 else 0) +
       (if (toUnicode || cid) 1 else 0) + (if (fontFile2) 2 else 0)
+    val indirectLinkNums: Map[Int, Int] = // global link idx → object number
+      links.indices.filter(_ % 2 == 0).zipWithIndex
+        .map { case (gi, slot) => gi -> (annotBase + slot) }.toMap
+    val infoNum = annotBase + indirectLinkNums.size
+    val objStmNum = infoNum + (if (info.isDefined) 1 else 0)
     val encNum = objStmNum + (if (objStm) 1 else 0)
     val xrefStmNum = encNum + (if (doEnc) 1 else 0)
     // /Encrypt must live in a trailer — force a classic xref table when the
@@ -410,6 +429,7 @@ object PdfLite {
       if (doEnc)
         s" /Encrypt $encNum 0 R /ID [<${hexOf(encId0)}> <${hexOf(encId0)}>]"
       else ""
+    val trailerInfoPart = if (info.isDefined) s" /Info $infoNum 0 R" else ""
 
     // doc-local ToUnicode code assignment: the non-ASCII chars actually used
     // get codes 0x80… and the CMap publishes the mapping — the real-world
@@ -466,6 +486,25 @@ object PdfLite {
     val fontRes =
       if (useFont) s" /Resources << /Font << /F1 $fontObjNum 0 R >> >>" else ""
     def catalogDict = "<< /Type /Catalog /Pages 2 0 R >>"
+    // literal-string escaping (§7.3.4.2): backslash first, then parens
+    def escLit(t: String): String =
+      t.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    def annotDict(uri: String, gi: Int): String = {
+      val y = 40 + 20 * (gi % 8)
+      s"<< /Type /Annot /Subtype /Link /Rect [50 $y 350 ${y + 14}] " +
+        s"/Border [0 0 0] /A << /S /URI /URI (${escLit(uri)}) >> >>"
+    }
+    // link gi lands on page gi % nPages; even gi as an indirect ref
+    def annotsPart(i: Int): String = {
+      val mine = links.zipWithIndex.filter(_._2 % pages.length == i)
+      if (mine.isEmpty) ""
+      else " /Annots [" + mine.map { case (uri, gi) =>
+        indirectLinkNums.get(gi) match {
+          case Some(n) => s"$n 0 R"
+          case None => annotDict(uri, gi)
+        }
+      }.mkString(" ") + "]"
+    }
     def pagesDict = s"<< /Type /Pages /Kids [$kids] /Count ${pages.length} >>"
     // user-space MediaBox: rotated pages store swapped dims + /Rotate
     val rotPart = if (rotate != 0) s" /Rotate $rotate" else ""
@@ -478,7 +517,7 @@ object PdfLite {
         if (form) s" /Resources << /XObject << /Fm0 ${formBase + i} 0 R >> >>"
         else fontRes
       s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 $uw $uh]$rotPart " +
-        s"/Contents ${4 + 2 * i} 0 R$res >>"
+        s"/Contents ${4 + 2 * i} 0 R$res${annotsPart(i)} >>"
     }
     // shared stream encoder: compress/lzw/rle then optional hex or base-85
     // armor; /Filter lists the chain in decode order (armor first)
@@ -689,6 +728,16 @@ object PdfLite {
       out.write(cmapBytes)
       put("\nendstream endobj\n")
     }
+    for ((gi, n) <- indirectLinkNums.toSeq.sortBy(_._2)) {
+      beginObj(n)
+      put(s"$n 0 obj ${annotDict(links(gi), gi)} endobj\n")
+    }
+    for (di <- info) {
+      beginObj(infoNum)
+      put(s"$infoNum 0 obj << /Title (${escLit(di.title)}) " +
+        s"/Author (${escLit(di.author)}) /Producer (${escLit(di.producer)}) " +
+        s"/CreationDate (${escLit(di.created)}) >> endobj\n")
+    }
     if (doEnc) {
       beginObj(encNum)
       if (aes256)
@@ -763,7 +812,7 @@ object PdfLite {
       // the xref stream itself is NEVER encrypted (§7.5.8.2) — readers need
       // it to find the /Encrypt dict in the first place
       put(s"$xrefStmNum 0 obj << /Type /XRef /Size $size /W [1 4 2] " +
-        s"/Root 1 0 R$trailerEncPart /Filter /FlateDecode$dpPart /Length ${data.length} >> stream\n")
+        s"/Root 1 0 R$trailerEncPart$trailerInfoPart /Filter /FlateDecode$dpPart /Length ${data.length} >> stream\n")
       out.write(data)
       put(s"\nendstream endobj\nstartxref\n$selfOff\n")
     } else if (useXrefTable) {
@@ -776,7 +825,7 @@ object PdfLite {
         case Some(o) => put(f"$o%010d 00000 n \n")
         case None => put("0000000000 65535 f \n")
       }
-      put(s"trailer << /Size $size /Root 1 0 R$trailerEncPart >>\nstartxref\n$xrefOff\n")
+      put(s"trailer << /Size $size /Root 1 0 R$trailerEncPart$trailerInfoPart >>\nstartxref\n$xrefOff\n")
     }
     put("%%EOF\n")
     out.toByteArray
@@ -1729,10 +1778,134 @@ object PdfLite {
       any("/FontFile2", "font:ttf")
       any("/Rotate", "rotate")
       any("/Subtype /Form", "formxobj")
+      any("/Subtype /Link", "links")
+      any("/CreationDate", "infodict")
       if (dicts.count(d => d.contains("/Type /Page") &&
             !d.contains("/Type /Pages")) > 1) tags += "multipage"
       tags.mkString(",")
     } catch { case _: Exception => "unreadable" }
+  }
+
+  /** Decode a literal string starting at `(`: §7.3.4.2 escapes
+    * (`\\ \( \) \n \r \t \b \f`, 1–3-digit octal, line continuation) and
+    * balanced unescaped parens. Returns (value, index past the `)`). */
+  private def readLiteral(s: String, open: Int): String = {
+    val sb = new java.lang.StringBuilder
+    var k = open + 1
+    var depth = 1
+    while (k < s.length && depth > 0) {
+      val c = s.charAt(k)
+      if (c == '\\' && k + 1 < s.length) {
+        val e = s.charAt(k + 1)
+        k += 2
+        e match {
+          case 'n' => sb.append('\n')
+          case 'r' => sb.append('\r')
+          case 't' => sb.append('\t')
+          case 'b' => sb.append('\b')
+          case 'f' => sb.append('\f')
+          case '\n' => () // line continuation
+          case d if d >= '0' && d <= '7' =>
+            var v = d - '0'
+            var nd = 1
+            while (nd < 3 && k < s.length && s.charAt(k) >= '0' && s.charAt(k) <= '7') {
+              v = v * 8 + (s.charAt(k) - '0'); k += 1; nd += 1
+            }
+            sb.append((v & 0xff).toChar)
+          case other => sb.append(other)
+        }
+      } else {
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        if (depth > 0) sb.append(c)
+        k += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** Decode a hex string starting at `<` (not `<<`); UTF-16BE when
+    * BOM-prefixed, PDFDocEncoding (≈ Latin-1) otherwise. */
+  private def readHexString(s: String, open: Int): String = {
+    val close = s.indexOf('>', open + 1)
+    if (close < 0) return ""
+    val hex = s.substring(open + 1, close).filter(c => Character.digit(c, 16) >= 0)
+    val padded = if (hex.length % 2 == 1) hex + "0" else hex
+    val bytes = new Array[Byte](padded.length / 2)
+    var i = 0
+    while (i < bytes.length) {
+      bytes(i) = Integer.parseInt(padded.substring(2 * i, 2 * i + 2), 16).toByte
+      i += 1
+    }
+    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xfe && (bytes(1) & 0xff) == 0xff)
+      new String(bytes, 2, bytes.length - 2, java.nio.charset.StandardCharsets.UTF_16BE)
+    else new String(bytes, Latin1)
+  }
+
+  /** String value after `/Name` in a dict — literal `(…)` or hex `<…>`;
+    * occurrences of the name used as a VALUE (e.g. `/S /URI`) are skipped
+    * because no string follows them. */
+  private def stringAfter(dict: String, name: String): Option[String] = {
+    var i = dict.indexOf(name)
+    while (i >= 0) {
+      var k = i + name.length
+      while (k < dict.length && Character.isWhitespace(dict.charAt(k))) k += 1
+      if (k < dict.length && dict.charAt(k) == '(') return Some(readLiteral(dict, k))
+      if (k + 1 < dict.length && dict.charAt(k) == '<' && dict.charAt(k + 1) != '<')
+        return Some(readHexString(dict, k))
+      i = dict.indexOf(name, i + name.length)
+    }
+    None
+  }
+
+  /** All link-annotation target URIs in the document (§12.5.6.5, §12.6.4.7):
+    * every `/URI (…)` action string across top-level AND in-ObjStm dicts —
+    * both the inline-dict and indirect-object `/Annots` layouts real writers
+    * emit. Deterministic object-scan order; total (damaged/garbage → empty).
+    * The outlink surface a crawl frontier feeds on. */
+  def links(payload: Array[Byte]): Vector[String] = {
+    if (payload == null || !isPdf(payload)) return Vector.empty
+    try {
+      val s = decryptIfNeeded(new String(payload, Latin1))
+      val objs = scanObjects(s)
+      val dicts = objs.map(_.dict) ++
+        expandObjStms(objs, s).valuesIterator.flatten.map(_.dict)
+      val out = Vector.newBuilder[String]
+      for (d <- dicts) {
+        var i = d.indexOf("/URI")
+        while (i >= 0) {
+          var k = i + 4
+          while (k < d.length && Character.isWhitespace(d.charAt(k))) k += 1
+          if (k < d.length && d.charAt(k) == '(') out += readLiteral(d, k)
+          else if (k + 1 < d.length && d.charAt(k) == '<' && d.charAt(k + 1) != '<')
+            out += readHexString(d, k)
+          i = d.indexOf("/URI", i + 4)
+        }
+      }
+      out.result()
+    } catch { case _: Exception => Vector.empty }
+  }
+
+  /** The document-information dictionary (§14.3.3): trailer `/Info` resolve
+    * first (classic trailer or XRef-stream dict), then a structural fallback
+    * for trailer-less files (any dict carrying `/Producer` or
+    * `/CreationDate`). Total — damaged/garbage → None. */
+  def docInfo(payload: Array[Byte]): Option[DocInfo] = {
+    if (payload == null || !isPdf(payload)) return None
+    try {
+      val s = decryptIfNeeded(new String(payload, Latin1))
+      val objs = scanObjects(s)
+      val byTrailer = parseXrefChain(s).trailer
+        .flatMap(t => refOf(t, "/Info"))
+        .flatMap(n => objs.find(_.num == n).map(_.dict))
+      val dict = byTrailer.orElse(objs.map(_.dict).find(d =>
+        d.contains("/Producer") || d.contains("/CreationDate")))
+      dict.map(d => DocInfo(
+        stringAfter(d, "/Title").getOrElse(""),
+        stringAfter(d, "/Author").getOrElse(""),
+        stringAfter(d, "/Producer").getOrElse(""),
+        stringAfter(d, "/CreationDate").getOrElse("")))
+    } catch { case _: Exception => None }
   }
 
   private val SignedIntHerePat = java.util.regex.Pattern.compile("\\G\\s+(-?\\d+)")

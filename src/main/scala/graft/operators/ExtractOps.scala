@@ -660,6 +660,53 @@ object ExtractOps {
        |SELECT dialect, count(*) AS n_docs FROM g
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q49_outlinks — the PDF half of the crawl link graph: every `/Annots`
+    * link-annotation URI extracted via the `pdf_links` expression, exploded
+    * and rolled up by target domain. At crawl scale this IS the frontier
+    * feed. Plan shape: narrow expression map → Generate(explode) → regexp
+    * domain split → two-phase hash agg; the shuffle carries
+    * O(domains × partitions) rows after map-side combine. Oracle: the
+    * committed kernel golden (single-threaded [[graft.kernel.PdfLite.links]]
+    * over the same corpus) re-aggregated by DuckDB's own regexp engine. */
+  def q49Outlinks(spark: SparkSession, dir: String): DataFrame =
+    corpusPages(spark, dir)
+      .select(explode(graft.functions.PdfLinksExpr.pdfLinks(col("html"))).as("link"))
+      .select(regexp_extract(col("link"), "^https?://([^/]+)/", 1).as("domain"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_links"))
+      .orderBy(col("domain"))
+
+  val q49OutlinksSql: String =
+    s"""WITH g AS (SELECT * FROM read_parquet('$GoldenDir/golden_links.parquet')
+       |  WHERE idx < $PagesPerDoc * (SELECT count(*) FROM documents))
+       |SELECT regexp_extract(link, '^https?://([^/]+)/', 1) AS domain,
+       |       count(*) AS n_links
+       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q50_doc_meta — provenance census over the document-information
+    * dictionaries (`pdf_meta`): writer/producer rollup with creation-date
+    * ranges, the signal training pipelines key dedup cohorts and writer-bug
+    * quarantines on. Plan shape: narrow struct-returning expression map →
+    * two-phase hash agg on producer. */
+  def q50DocMeta(spark: SparkSession, dir: String): DataFrame =
+    corpusPages(spark, dir)
+      .select(graft.functions.PdfMetaExpr.pdfMeta(col("html")).as("m"))
+      .filter(col("m").isNotNull && col("m.producer") =!= "")
+      .select(col("m.producer").as("producer"), col("m.created").as("created"))
+      .groupBy(col("producer"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("created")).as("first_created"),
+        max(col("created")).as("last_created"))
+      .orderBy(col("producer"))
+
+  val q50DocMetaSql: String =
+    s"""WITH g AS (SELECT * FROM read_parquet('$GoldenDir/golden_meta.parquet')
+       |  WHERE idx < $PagesPerDoc * (SELECT count(*) FROM documents)
+       |    AND producer <> '')
+       |SELECT producer, count(*) AS n_docs,
+       |       min(created) AS first_created, max(created) AS last_created
+       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_extract_rollup" -> (q25ExtractRollup _),
     "q26_extract_text_hash" -> (q26ExtractTextHash _),
@@ -676,7 +723,9 @@ object ExtractOps {
     "q45_template_create" -> (q45TemplateCreate _),
     "q46_damaged_recovery" -> (q46DamagedRecovery _),
     "q47_redact" -> (q47Redact _),
-    "q48_dialect_census" -> (q48DialectCensus _))
+    "q48_dialect_census" -> (q48DialectCensus _),
+    "q49_outlinks" -> (q49Outlinks _),
+    "q50_doc_meta" -> (q50DocMeta _))
 
   def oracles: Map[String, String] = Map(
     "q25_extract_rollup" -> q25ExtractRollupSql,
@@ -694,5 +743,7 @@ object ExtractOps {
     "q45_template_create" -> q45TemplateCreateSql,
     "q46_damaged_recovery" -> q46DamagedRecoverySql,
     "q47_redact" -> q47RedactSql,
-    "q48_dialect_census" -> q48DialectCensusSql)
+    "q48_dialect_census" -> q48DialectCensusSql,
+    "q49_outlinks" -> q49OutlinksSql,
+    "q50_doc_meta" -> q50DocMetaSql)
 }

@@ -79,6 +79,20 @@ object GenGoldenExtract {
     }.toDF("idx", "url", "dialect")
     commitSingleFile(dialects.orderBy("idx"), "golden_dialects.parquet")
 
+    val links = spark.range(0, n, 1, 16).flatMap { i =>
+      val p = Corpus.page(i)
+      graft.kernel.PdfLite.links(p.html).zipWithIndex
+        .map { case (l, k) => (i, p.url, k, l) }
+    }.toDF("idx", "url", "k", "link")
+    commitSingleFile(links.orderBy("idx", "k"), "golden_links.parquet")
+
+    val meta = spark.range(0, n, 1, 16).flatMap { i =>
+      val p = Corpus.page(i)
+      graft.kernel.PdfLite.docInfo(p.html)
+        .map(di => (i, p.url, di.title, di.author, di.producer, di.created))
+    }.toDF("idx", "url", "title", "author", "producer", "created")
+    commitSingleFile(meta.orderBy("idx"), "golden_meta.parquet")
+
     val media = spark.range(0, n, 1, 16).map { i =>
       val m = Multimodal.decode(i, Multimodal.blob(i))
       (i, m.format, m.channels, m.nBytes, m.width, m.height, m.failure)

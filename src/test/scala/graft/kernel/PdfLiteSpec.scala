@@ -356,6 +356,52 @@ class PdfLiteSpec extends AnyFunSuite {
     assert(p2.items.map(_.text) == Vector(runny))
   }
 
+  test("link annotations: inline and indirect /Annots layouts round-trip across dialects") {
+    val urls = Seq("https://a.test/one/1", "https://b.test/two(2)",
+      "https://c.test/back\\slash", "https://d.test/four")
+    val pages = (1 to 3).map(p => PdfLite.PageSpec(800, 1000, runsOf(p, 100 + 10 * p)))
+    val bytes = PdfLite.writeDoc(pages, links = urls)
+    val s = new String(bytes, StandardCharsets.ISO_8859_1)
+    // even-indexed links are indirect /Annot objects, odd-indexed inline
+    assert(s.contains("/Type /Annot") && s.contains("/S /URI"))
+    assert(PdfLite.links(bytes).sorted == urls.sorted.toVector)
+    // survives xref streams, ObjStm page dicts, compression, and page parse
+    for ((x, o, c) <- Seq((true, false, true), (false, true, false), (true, true, true))) {
+      val b2 = PdfLite.writeDoc(pages, links = urls, xrefStream = x, objStm = o, compress = c)
+      assert(PdfLite.links(b2).sorted == urls.sorted.toVector, (x, o, c))
+      assert(PdfLite.parse(b2).nPages == 3, (x, o, c))
+    }
+    // total on garbage and non-PDF
+    assert(PdfLite.links("not a pdf".getBytes) == Vector.empty)
+    assert(PdfLite.links(null) == Vector.empty)
+    // no links → empty
+    assert(PdfLite.links(doc3(compress = false)) == Vector.empty)
+  }
+
+  test("/Info dict: trailer resolve, trailer-less fallback, escapes, hex UTF-16BE") {
+    val di = PdfLite.DocInfo("report (Q3) 50% \\ done", "dept-7",
+      "pdfTeX-1.40.25", "D:20250901120000")
+    val pages = Seq(PdfLite.PageSpec(400, 400, Seq(PdfLite.Run(10, 50, 12, "hello"))))
+    // classic xref trailer, xref-stream dict, and no-xref fallback
+    for ((x, xs) <- Seq((true, false), (false, true), (false, false))) {
+      val b = PdfLite.writeDoc(pages, info = Some(di), xref = x, xrefStream = xs)
+      assert(PdfLite.docInfo(b).contains(di), (x, xs))
+    }
+    assert(PdfLite.docInfo(doc3(compress = false)).isEmpty)
+    assert(PdfLite.docInfo("junk".getBytes).isEmpty)
+    // hand-built /Info with a BOM-prefixed UTF-16BE hex string title
+    val hexTitle = "FEFF" + "résumé".flatMap(c => f"${c.toInt}%04X")
+    val hand = ("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 100 100] /Contents 4 0 R >> endobj\n" +
+      "4 0 obj << /Length 0 >> stream\n\nendstream endobj\n" +
+      s"5 0 obj << /Title <$hexTitle> /Producer (Hand 1.0) >> endobj\n" +
+      "trailer << /Size 6 /Root 1 0 R /Info 5 0 R >>\n%%EOF\n")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val got = PdfLite.docInfo(hand)
+    assert(got.exists(d => d.title == "résumé" && d.producer == "Hand 1.0"), got)
+  }
+
   test("garbage xref/startxref sections degrade to the linear scan, never throw") {
     val good = doc3(compress = false)
     val tail = "xref\n0 banana\ntrailer << /Root nope >>\nstartxref\nnotanumber\n%%EOF\n"
