@@ -6,7 +6,7 @@ import graft.kernel.{Corpus, Csv, Extractor, Multimodal}
 
 /** Regenerates the committed golden-extraction parquets under `data/` that
   * back the DuckDB oracles of the extraction-family catalog queries
-  * (q25/q26/q27/q29/q38/q47/q48). The goldens are the single-threaded kernel's output
+  * (q25/q26/q27/q29/q38/q47/q48/q49/q50). The goldens are the single-threaded kernel's output
   * over the deterministic corpus — the same oracle definition as the
   * byte-identity gate — materialized so an independent engine (DuckDB) can
   * verify the distributed results by hash.
