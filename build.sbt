@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify mains print ONE machine-readable JSON line that an
+// external harness parses from the process tail. sbt's default logger
+// prefixes every forked-stdout line with "[info] ", which breaks a
+// line-oriented JSON parse — inherit stdout directly instead.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // local-cluster[...] masters (the bench's multi-executor scaling mode)
 // launch executor JVMs through the standalone Worker, whose command
 // builder resolves the Spark layout from these two env vars.

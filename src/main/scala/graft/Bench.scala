@@ -382,9 +382,9 @@ object Bench {
       val (levelLo, levelHi) =
         if (useCluster) (Level.executors(n, execCores), Level.executors(4 * n, execCores))
         else (Level.threads(n), Level.threads(4 * n))
-      val modeNote =
-        if (useCluster) "executors(local-cluster): each level runs separate executor JVMs (own heap/GC) like a real cluster"
-        else "threads(local[n]): shared-JVM levels, both kept below the single-heap bandwidth ceiling, each PINNED to exactly n cores (taskset -a, GC/JIT/driver included) for the timed rep - unpinned, background JVM threads spill onto idle cores and inflate low-n baselines ~40% (hardware per-thread rate is flat 1->8, tools/CpuProbe); cluster mode is opt-in (GRAFT_BENCH_MODE=cluster) because many concurrent JVMs trigger this VM's host-level slowdown"
+      // mode semantics (threads vs executors, pinning rationale, why cluster
+      // mode is opt-in on this VM) are documented in BASELINE.md §"Scaling
+      // methodology" — kept out of the JSON line for capture-window reasons.
       // ---- floor-checked attempts (VERDICT r03 #1) ----
       // A whole scaling loop can sit inside one degraded host window and
       // "converge" on uniformly inflated minima (the r3 driver record:
@@ -482,46 +482,36 @@ object Bench {
         if (kept.isEmpty) pairEffMedian
         else median(kept.map { case (lo, hi) => (hi.docsPerSec / lo.docsPerSec) / 4.0 })
       val nTrimmed = pairs.length - kept.length
-      val floorNote = s"levels are re-run (time-shifted, all runs kept) when a pooled " +
-        s"level best falls >${BenchRef.degradedFactor}x below its committed clean-window " +
-        "floor (BENCH_LOCAL.json minima of this build); all_attempts_degraded=true means " +
-        "every retry window was degraded too; scaling_gate_retries counts the additional " +
-        "retries spent because best-of efficiency sat under the gate while a level had " +
-        "not yet reached its committed clean floor (the retry only adds samples toward " +
-        "known-clean rates - once both levels reach their floors the ratio stands as-is)"
-      val estimatorNote = "scaling_efficiency = best-per-level (VM noise only slows runs; " +
-        "minima are consistent estimators); pair_eff_trimmed = median over pairs with both " +
-        "reps within 2x their level minimum (reps of a pair run back-to-back, so the trim " +
-        "drops window-straddling pairs on absolute time alone - efficiency-blind); " +
-        "pair_eff_median = untrimmed median, reported for transparency, collapses when one " +
-        "rep of a pair straddles a degraded window"
+      // Methodology prose (floor/estimator/mode notes) lives in BASELINE.md
+      // §"Scaling methodology" — the JSON line must stay compact enough that
+      // an external harness capturing only the final ~2000 chars of process
+      // output still holds the WHOLE line (VERDICT r04 §wrong 1: the r3/r4
+      // notes pushed the per-query section out of the capture window).
       // peak32 is a single-sample number in a noisy VM — take best-of-2
       val peakLevel =
         if (useCluster) Level.executors(8, 4) else Level.threads(32)
       val m32 = Seq(
         extractOnce(peakLevel, corpusPath, s"$tmp/out32", 1),
         extractOnce(peakLevel, corpusPath, s"$tmp/out32", 2)).minBy(_.wallSec)
+      // Per-rep arrays capped to the last 8 entries (full history stays in
+      // stderr + BENCH_LOCAL.json) — length control for the capture window.
       def secs(ms: Seq[ExtractJob.Metrics]) =
-        ms.map(m => f"${m.wallSec}%.2f").mkString("[", ",", "]")
+        ms.takeRight(8).map(m => f"${m.wallSec}%.1f").mkString("[", ",", "]")
       scalingJson =
         f"""{"docs":${mLo.docs},"bytes":${mLo.bytes},""" +
-        f""""mode":"${if (useCluster) "executors" else "threads"}","mode_note":"$modeNote",""" +
+        f""""mode":"${if (useCluster) "executors" else "threads"}",""" +
         f""""level_N":"${levelLo.label}","level_4N":"${levelHi.label}","peak_level":"${peakLevel.label}",""" +
-        f""""n_threads":${levelLo.totalCores},"n4_threads":${levelHi.totalCores},""" +
-        f""""tN_sec":${mLo.wallSec}%.2f,"tN_docs_per_sec":${mLo.docsPerSec}%.1f,"tN_mb_per_sec":${mLo.mbPerSec}%.2f,""" +
-        f""""t4N_sec":${mHi.wallSec}%.2f,"t4N_docs_per_sec":${mHi.docsPerSec}%.1f,"t4N_mb_per_sec":${mHi.mbPerSec}%.2f,""" +
+        f""""tN_sec":${mLo.wallSec}%.2f,"tN_docs_per_sec":${mLo.docsPerSec}%.1f,""" +
+        f""""t4N_sec":${mHi.wallSec}%.2f,"t4N_docs_per_sec":${mHi.docsPerSec}%.1f,""" +
         f""""tN_all_sec":${secs(allLo)},"t4N_all_sec":${secs(allHi)},""" +
         f""""peak32_docs_per_sec":${m32.docsPerSec}%.1f,"peak32_mb_per_sec":${m32.mbPerSec}%.2f,""" +
         f""""scaling_efficiency":$eff%.3f,"pair_eff_median":$pairEffMedian%.3f,""" +
         f""""pair_eff_trimmed":$pairEffTrimmed%.3f,"pairs_trimmed":$nTrimmed,""" +
-        f""""floors_armed":$floorsArmed,"floor_tN_docs_per_sec":${BenchRef.tNDocsPerSec}%.0f,""" +
-        f""""floor_t4N_docs_per_sec":${BenchRef.t4NDocsPerSec}%.0f,""" +
-        f""""floor_ref_corpus_version":${BenchRef.refCorpusVersion},""" +
-        f""""scaling_attempts":$attempt,"attempt_pair_counts":${attemptSizes.mkString("[", ",", "]")},""" +
-        f""""all_attempts_degraded":$degraded,"scaling_gate_retries":$gateRetries,""" +
-        f""""levels_pinned":${pinEnabled && !useCluster && !pinFailed},""" +
-        s""""floor_note":"$floorNote",""" +
-        f""""estimator_note":"$estimatorNote"}"""
+        f""""floors_armed":$floorsArmed,"floor_tN":${BenchRef.tNDocsPerSec}%.0f,""" +
+        f""""floor_t4N":${BenchRef.t4NDocsPerSec}%.0f,""" +
+        f""""floor_corpus_v":${BenchRef.refCorpusVersion},""" +
+        f""""attempts":$attempt,"all_attempts_degraded":$degraded,"gate_retries":$gateRetries,""" +
+        f""""levels_pinned":${pinEnabled && !useCluster && !pinFailed}}}"""
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     } catch {
       case e: Throwable =>
@@ -591,17 +581,28 @@ object Bench {
       if BenchRef.active && BenchRef.queryRefSec.get(name).exists(r => best > 2.0 * r)
         => name }.toSeq
 
-    val qs = times.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    val repsJson = repArrays.map { case (k, rs) =>
-      s""""$k":${rs.map(r => f"$r%.3f").mkString("[", ",", "]")}""" }
-      .mkString("{", ",", "}")
+    val qs = times.map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
+    // rep arrays as an array-of-arrays in queries order (repeating the 20
+    // query names would double the line length; the order is the `queries`
+    // key order — documented in BASELINE.md)
+    val repsJson = repArrays.values.map(rs =>
+      rs.map(r => f"$r%.2f").mkString("[", ",", "]")).mkString("[", ",", "]")
     val errs = errors.map { case (k, m) => s""""$k":"$m"""" }.mkString("{", ",", "}")
     val retriesJson = retryArrays.map { case (k, rs) =>
-      s""""$k":${rs.map(r => f"$r%.3f").mkString("[", ",", "]")}""" }
+      s""""$k":${rs.map(r => f"$r%.2f").mkString("[", ",", "]")}""" }
       .mkString("{", ",", "}")
     val stillJson = stillDegraded.map(n => s""""$n"""").mkString("[", ",", "]")
     val total = times.values.sum
-    println(
-      f"""{"metric":"headline_queries_total","value":$total%.3f,"unit":"sec","queries":$qs,"query_reps":$repsJson,"query_reps_note":"per-query value = min of $queryReps timed reps after one warm run; rep arrays expose degraded-VM windows; queries whose best exceeded their committed clean-window bound (BenchRef) were re-timed after the scaling section (minutes later - a time shift no back-to-back best-of can provide) and query_retries holds those arrays","query_retries":$retriesJson,"queries_still_degraded_2x":$stillJson,"n_query_errors":${errors.size},"query_errors":$errs,"sf":"$sfDir","byte_identical_pass_rate":$passRate%.4f,"extract_scaling":$scalingJson}""")
+    // ONE compact JSON line, printed last. An external harness captures only
+    // the tail of the process output and parses line-by-line, so (a) this
+    // line must fit comfortably inside a ~2000-char tail together with sbt's
+    // trailing "[success]" line, and (b) it must start at column 0 (see
+    // build.sbt outputStrategy). Methodology prose lives in BASELINE.md.
+    val line =
+      f"""{"metric":"headline_queries_total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$repsJson,"retries":$retriesJson,"still_degraded_2x":$stillJson,"n_query_errors":${errors.size},"query_errors":$errs,"sf":"$sfDir","byte_identical_pass_rate":$passRate%.4f,"extract_scaling":$scalingJson}"""
+    if (line.length > 1850)
+      System.err.println(s"[bench] WARNING: JSON line ${line.length} chars - may " +
+        "overflow a 2000-char tail capture")
+    println(line)
   }
 }
