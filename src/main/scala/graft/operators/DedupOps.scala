@@ -82,11 +82,16 @@ object DedupOps {
   def q19DedupNgram(spark: SparkSession, dir: String): DataFrame = {
     val sh = shinglesFiltered(spark, dir).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"),
-        col("a.g") === col("b.g") && col("a.source") === col("b.source") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    // Posting-list self-join routed through the SAME hot-key salting as the
+    // q20 band join (VERDICT r04 §wrong 2): MaxShingleDf bounds a posting
+    // list at 1000 docs, but a shingle at DF≈999 still puts ~500k pairs on
+    // one (g, source) key — one straggler task at 10^12 docs. saltedSelfPairs
+    // spreads a hot list's pairs across LshSalts tasks; each qualifying
+    // (g, source, id_a<id_b) row still matches exactly once, so the
+    // per-pair intersection COUNT — and the DuckDB oracle — are unchanged.
+    val pairs = saltedSelfPairs(sh, Seq("g", "source"), "doc_id",
+        LshHotBucketCap, LshSalts)
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_inter"))
     pairs
       .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "sh_a"), "id_a")

@@ -61,12 +61,20 @@ class PlanQualitySpec extends SparkTestBase {
       s"query vector not broadcast:\n$p")
   }
 
-  test("q20/q24: pair stages are bucket equi-joins, never a product join") {
-    for (q <- Seq("q20_minhash_lsh", "q24_emb_neardup")) {
+  test("q19/q20/q24: pair stages are bucket equi-joins, never a product join") {
+    for (q <- Seq("q19_dedup_ngram", "q20_minhash_lsh", "q24_emb_neardup")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q candidate stage degenerated to a product join:\n$p")
     }
+  }
+
+  test("q19: shingle self-join is hot-key salted (VERDICT r04 #2)") {
+    // saltedSelfPairs tags both sides with a deterministic salt column and
+    // joins on it; the physical plan must carry the salt in the join keys
+    // (the guard that spreads a DF≈999 posting list across LshSalts tasks)
+    val p = plan("q19_dedup_ngram")
+    assert(p.contains("salt"), s"q19 pair join lost its hot-key salting:\n$p")
   }
 
   test("q28_fuzzy_match: native SimRatio expression, no UDF node in the plan") {
