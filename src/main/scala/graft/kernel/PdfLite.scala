@@ -1466,9 +1466,17 @@ object PdfLite {
   /** What the interpreter needs to know about one font resource: declared
     * simple encoding and the `/ToUnicode` CMap (byte code → Unicode string),
     * which — as in PyMuPDF — takes precedence for text extraction. */
+  /** `widths`/`dw` (per-code advance, /1000 units), `asc`/`desc` (per-em,
+    * positive) feed ONLY the native-route extractor ([[parseNative]]): the
+    * legacy geometry model in [[interpret]] never reads them, so adding them
+    * cannot move any byte of the synthetic-corpus goldens. */
   private final case class FontInfo(winAnsi: Boolean, cmap: Map[Int, String],
                                     twoByte: Boolean = false,
-                                    diffs: Map[Int, Char] = Map.empty)
+                                    diffs: Map[Int, Char] = Map.empty,
+                                    widths: Map[Int, Double] = Map.empty,
+                                    dw: Double = 500.0,
+                                    asc: Double = 0.8,
+                                    desc: Double = 0.2)
   private val DefaultFont = FontInfo(winAnsi = false, cmap = Map.empty)
 
   private val DiffTokenPat = java.util.regex.Pattern
@@ -1583,6 +1591,114 @@ object PdfLite {
     (out.toMap, twoByte)
   }
 
+  /** `/Name 12.5` signed decimal after a dict key (the float analog of
+    * [[intAfter]]). */
+  private def doubleAfter(dict: String, name: String): Option[Double] = {
+    val i = dict.indexOf(name)
+    if (i < 0) return None
+    var k = i + name.length
+    while (k < dict.length && dict.charAt(k).isWhitespace) k += 1
+    val start = k
+    if (k < dict.length && (dict.charAt(k) == '-' || dict.charAt(k) == '+')) k += 1
+    var digits = false
+    while (k < dict.length && (dict.charAt(k).isDigit || dict.charAt(k) == '.')) {
+      if (dict.charAt(k).isDigit) digits = true
+      k += 1
+    }
+    if (!digits) None
+    else try Some(dict.substring(start, k).toDouble)
+    catch { case _: NumberFormatException => None }
+  }
+
+  /** CID `/W` array (PDF 32000-1 §9.7.4.3) → cid → advance width (glyph
+    * units, /1000). Both forms: `c [w1 w2 …]` assigns consecutive cids;
+    * `c1 c2 w` assigns a range. Matches a bare `/W` key only (not /Widths /
+    * /WhitePoint), tolerates nested whitespace/newlines. */
+  private def parseWArray(dict: String): Map[Int, Double] = {
+    var i = dict.indexOf("/W")
+    var found = -1
+    while (i >= 0 && found < 0) {
+      val after = i + 2
+      if (after >= dict.length || dict.charAt(after).isWhitespace ||
+          dict.charAt(after) == '[') found = i
+      else i = dict.indexOf("/W", i + 1)
+    }
+    if (found < 0) return Map.empty
+    val open = dict.indexOf('[', found)
+    if (open < 0) return Map.empty
+    // matching close bracket (the array nests per-run sub-arrays)
+    var depth = 0; var k = open; var close = -1
+    while (k < dict.length && close < 0) {
+      val c = dict.charAt(k)
+      if (c == '[') depth += 1
+      else if (c == ']') { depth -= 1; if (depth == 0) close = k }
+      k += 1
+    }
+    if (close < 0) return Map.empty
+    val body = dict.substring(open + 1, close)
+    val toks = new mutable.ArrayBuffer[String](64)
+    val m = java.util.regex.Pattern.compile("\\[|\\]|[-+]?[0-9.]+").matcher(body)
+    while (m.find()) toks += m.group()
+    val out = Map.newBuilder[Int, Double]
+    var t = 0
+    def num(s: String): Double = try s.toDouble catch { case _: NumberFormatException => 0.0 }
+    while (t < toks.length) {
+      val tok = toks(t)
+      if (tok == "[" || tok == "]") t += 1
+      else if (t + 1 < toks.length && toks(t + 1) == "[") {
+        var cid = num(tok).toInt
+        t += 2
+        while (t < toks.length && toks(t) != "]") {
+          out += cid -> num(toks(t)); cid += 1; t += 1
+        }
+        t += 1
+      } else if (t + 2 < toks.length && toks(t + 1) != "[" && toks(t + 1) != "]" &&
+                 toks(t + 2) != "[" && toks(t + 2) != "]") {
+        val c1 = num(tok).toInt; val c2 = num(toks(t + 1)).toInt; val w = num(toks(t + 2))
+        var cid = c1
+        while (cid <= c2 && cid - c1 <= 65535) { out += cid -> w; cid += 1 }
+        t += 3
+      } else t += 1
+    }
+    out.result()
+  }
+
+  /** Advance widths + vertical metrics for one font dict — feeds ONLY the
+    * native extractor. CID fonts resolve through `/DescendantFonts` (the
+    * `/W`/`/DW` arrays live on the descendant); simple fonts read
+    * `/FirstChar` + `/Widths`; ascent/descent come from the
+    * `/FontDescriptor` (per-mille, descent stored positive-down). */
+  private def fontMetrics(fontDict: String, byNum: Map[Int, PdfObj])
+      : (Map[Int, Double], Double, Double, Double) = {
+    val descDict: Option[String] =
+      if (fontDict.contains("/DescendantFonts"))
+        refsOf(fontDict, "/DescendantFonts").headOption
+          .orElse(refOf(fontDict, "/DescendantFonts"))
+          .flatMap(byNum.get).map(_.dict)
+      else None
+    val metricsDict = descDict.getOrElse(fontDict)
+    var widths = parseWArray(metricsDict)
+    if (widths.isEmpty && fontDict.contains("/Widths")) {
+      val first = intAfter(fontDict, "/FirstChar").getOrElse(0)
+      val wi = fontDict.indexOf("/Widths")
+      val open = fontDict.indexOf('[', wi)
+      val cls = if (open < 0) -1 else fontDict.indexOf(']', open)
+      if (cls > open) {
+        val b = Map.newBuilder[Int, Double]
+        var c = first
+        for (tok <- fontDict.substring(open + 1, cls).trim.split("\\s+") if tok.nonEmpty) {
+          try { b += c -> tok.toDouble; c += 1 } catch { case _: NumberFormatException => }
+        }
+        widths = b.result()
+      }
+    }
+    val dw = doubleAfter(metricsDict, "/DW").getOrElse(500.0)
+    val fd = refOf(metricsDict, "/FontDescriptor").flatMap(byNum.get).map(_.dict)
+    val asc = fd.flatMap(doubleAfter(_, "/Ascent")).map(_ / 1000.0).getOrElse(0.8)
+    val desc = fd.flatMap(doubleAfter(_, "/Descent")).map(v => math.abs(v) / 1000.0).getOrElse(0.2)
+    (widths, dw, asc, desc)
+  }
+
   /** Per-font info for a page: resolve `/Resources` (inline dict or
     * reference, page-level else inherited), then `/Font << /Fi N 0 R … >>`,
     * then each font object's `/Encoding` and `/ToUnicode`. */
@@ -1605,8 +1721,12 @@ object PdfLite {
         val out = Map.newBuilder[String, FontInfo]
         while (m.find()) {
           val fontDict = byNum.get(m.group(2).toInt).map(_.dict).getOrElse("")
-          val (cmap, twoByte) = refOf(fontDict, "/ToUnicode").flatMap(byNum.get)
+          val (cmap, twoByteCmap) = refOf(fontDict, "/ToUnicode").flatMap(byNum.get)
             .map(o => parseCMap(streamText(s, o))).getOrElse((Map.empty[Int, String], false))
+          // code width is an ENCODING property: Identity-H/V composite fonts
+          // consume 2 bytes/glyph even when no ToUnicode says so
+          val twoByte = twoByteCmap || fontDict.contains("/Identity-H") ||
+            fontDict.contains("/Identity-V")
           val (baseWin, diffs) = encodingOf(fontDict, byNum)
           val winAnsi = baseWin || fontDict.contains("/WinAnsiEncoding")
           // no declared encoding anywhere: fall back to the embedded font
@@ -1621,8 +1741,12 @@ object PdfLite {
               .map(o => TrueTypeFont.codeMap(streamText(s, o).getBytes(Latin1)))
               .getOrElse(Map.empty)
           val allDiffs = if (diffs.nonEmpty) diffs else ttfDiffs
-          if (winAnsi || cmap.nonEmpty || allDiffs.nonEmpty)
-            out += m.group(1) -> FontInfo(winAnsi, cmap, twoByte, allDiffs)
+          val (widths, dw, asc, desc) = fontMetrics(fontDict, byNum)
+          // a CID font with /W but no ToUnicode still matters to the native
+          // route (advances drive geometry even when codes decode raw)
+          if (winAnsi || cmap.nonEmpty || allDiffs.nonEmpty || widths.nonEmpty)
+            out += m.group(1) -> FontInfo(winAnsi, cmap, twoByte, allDiffs,
+              widths, dw, asc, desc)
         }
         out.result()
       }
@@ -1633,7 +1757,8 @@ object PdfLite {
     * content plus the form's OWN font/XObject resources (empty maps → the
     * invoking context's resources apply, per PDF 32000-1 §8.10.1 note). */
   private final case class FormX(content: String, fonts: Map[String, FontInfo],
-                                 forms: Map[String, FormX])
+                                 forms: Map[String, FormX],
+                                 matrix: Array[Double] = Array(1, 0, 0, 1, 0, 0))
 
   /** Resolve a dict's `/Resources → /XObject` entries to executable
     * `/Subtype /Form` streams (image XObjects are skipped — `Do` on them
@@ -1661,9 +1786,22 @@ object PdfLite {
         while (m.find()) {
           byNum.get(m.group(2).toInt) match {
             case Some(o) if o.dict.contains("/Subtype /Form") && o.hasStream =>
+              // /Matrix (form space → user space, PDF §8.10.1) feeds the
+              // native route's CTM; the legacy interpreter ignores it
+              val fm = {
+                val i = o.dict.indexOf("/Matrix")
+                val open = if (i < 0) -1 else o.dict.indexOf('[', i)
+                val cls = if (open < 0) -1 else o.dict.indexOf(']', open)
+                if (cls > open) {
+                  val v = o.dict.substring(open + 1, cls).trim.split("\\s+")
+                    .flatMap(t => try Some(t.toDouble)
+                    catch { case _: NumberFormatException => None })
+                  if (v.length == 6) v else Array(1.0, 0, 0, 1, 0, 0)
+                } else Array(1.0, 0, 0, 1, 0, 0)
+              }
               out += m.group(1) -> FormX(streamText(s, o),
                 fontInfos(s, o.dict, None, byNum),
-                formInfos(s, o.dict, None, byNum, depth + 1))
+                formInfos(s, o.dict, None, byNum, depth + 1), fm)
             case _ =>
           }
         }
@@ -1719,6 +1857,17 @@ object PdfLite {
     * tree ⇒ every stream interpreted as page 1 (round-1 dialect and garbage
     * both land here). */
   def parse(bytes: Array[Byte]): Parsed = parseImpl(bytes, run = true)
+
+  /** Native-route extraction: the PyMuPDF-twin structured-text contract the
+    * reference's `smart_extract.extract_native` (smart_extract.py:64-97)
+    * consumes — spans with synthesized spaces, int-truncated top-origin
+    * bboxes from real font metrics, full CTM/Tm/form-matrix geometry.
+    * Validated byte-for-byte against the reference's own artifacts on its
+    * 241 real PDFs (see the native-route section header below). [[parse]]
+    * keeps the legacy approximate-geometry contract the synthetic-corpus
+    * goldens are pinned to; this is the parser to point at REAL files. */
+  def parseNative(bytes: Array[Byte]): Parsed =
+    parseImpl(bytes, run = true, native = true)
 
   /** Structure resolution only (objects, xref, page tree, stream decode) with
     * content interpretation skipped — a profiling seam, not a public API. */
@@ -2033,7 +2182,8 @@ object PdfLite {
     } catch { case scala.util.control.NonFatal(_) => s0 }
   }
 
-  private def parseImpl(bytes: Array[Byte], run: Boolean): Parsed = {
+  private def parseImpl(bytes: Array[Byte], run: Boolean,
+                        native: Boolean = false): Parsed = {
     val s = decryptIfNeeded(new String(bytes, Latin1))
     val objs = scanObjects(s)
     // image sniff (feeds the router's scanned detection): a bare
@@ -2155,7 +2305,15 @@ object PdfLite {
         val fonts = fontInfos(s, p.dict, pagesNode.map(_.dict), byNum)
         val forms = formInfos(s, p.dict, pagesNode.map(_.dict), byNum)
         val contents = refsOf(p.dict, "/Contents").flatMap(byNum.get)
-        for (c <- contents) {
+        if (native && run) {
+          // native route: glyphs accumulate across the page's /Contents
+          // streams (one logical stream per PDF §7.8.2), spans assemble once
+          val chars = new mutable.ArrayBuffer[NChar](1024)
+          val ctm0 = deviceMatrix(rot, w, h)
+          for (c <- contents)
+            interpretNative(contentOf(c), ctm0, fonts, forms, chars)
+          buildSpans(chars, idx + 1, items)
+        } else for (c <- contents) {
           val txt = contentOf(c)
           if (run) interpret(txt, w, h, rot, idx + 1, items, fonts, forms)
         }
@@ -2540,5 +2698,408 @@ object PdfLite {
         else i += 1
       }
     }
+  }
+
+  // ---------- native-route structured text (the PyMuPDF twin) ----------
+  //
+  // The reference's native extraction (`smart_extract.py:64-97`) reads
+  // PyMuPDF `get_text("dict")` spans: per-span stripped text + int-truncated
+  // top-origin bboxes. This section reproduces that contract from first
+  // principles — full CTM/Tm tracking, real advance widths from the font's
+  // /W · /Widths arrays, MuPDF-style line/span assembly with synthesized
+  // spaces — and is validated against the reference's own committed
+  // artifacts: the `single_page_debug.log` funnel (256 items → 149 in box →
+  // 19 rows → 10 merged) and byte-identical cells on all 2 136 rows of
+  // `NEWARK_SMART_20250902_120119.xlsx` across the 241 real PDFs
+  // (tools/proto_native.py carries the validation run).
+
+  /** One shown glyph in device space: origin, advance endpoint, effective
+    * size (matrix expansion), the Tf resource name (MuPDF span identity), and
+    * the font's vertical metrics. */
+  private final case class NChar(uni: String, ox: Double, oy: Double,
+                                 ex: Double, ey: Double, size: Double,
+                                 fontId: String, asc: Double, desc: Double)
+
+  /** MuPDF structured-text thresholds (stext-device.c), in units of the
+    * current span's size: a forward gap in [SpaceDist, SpaceMaxDist]
+    * synthesizes ONE space; a larger gap, backward motion beyond SpaceDist,
+    * or a baseline offset beyond BaseMaxDist starts a new line. */
+  private val SpaceDist = 0.15
+  private val SpaceMaxDist = 0.8
+  private val BaseMaxDist = 0.8
+
+  /** Row-major 2×3 affine product `m · n` (apply m first, then n):
+    * x' = a·x + c·y + e, y' = b·x + d·y + f. */
+  private def matMul(m: Array[Double], n: Array[Double]): Array[Double] =
+    Array(
+      m(0) * n(0) + m(1) * n(2),
+      m(0) * n(1) + m(1) * n(3),
+      m(2) * n(0) + m(3) * n(2),
+      m(2) * n(1) + m(3) * n(3),
+      m(4) * n(0) + m(5) * n(2) + n(4),
+      m(4) * n(1) + m(5) * n(3) + n(5))
+
+  /** PDF user space (y-up) → display device space (y-down, top-left origin,
+    * honoring /Rotate) — the same mapping [[interpret]] applies pointwise,
+    * expressed as the page's base CTM. */
+  private def deviceMatrix(rot: Int, w: Int, h: Int): Array[Double] = rot match {
+    case 90  => Array(0, 1, 1, 0, 0, 0)
+    case 180 => Array(-1, 0, 0, 1, w.toDouble, 0)
+    case 270 => Array(0, -1, -1, 0, h.toDouble, w.toDouble)
+    case _   => Array(1, 0, 0, -1, 0, h.toDouble)
+  }
+
+  /** Full-state content interpreter for the native route: graphics state
+    * (q/Q/cm), text state (Tm, Td, TD, `T*`, TL, Tc, Tw, Tz, Ts), per-code
+    * advances, Form XObject /Matrix composition. Emits one [[NChar]] per shown glyph;
+    * [[buildSpans]] assembles them. Unknown operators drop their operands
+    * (tolerant, like [[interpret]]). */
+  private def interpretNative(content: String,
+                              ctm0: Array[Double],
+                              fonts: Map[String, FontInfo],
+                              forms: Map[String, FormX],
+                              out: mutable.ArrayBuffer[NChar]): Unit = {
+    var i = 0
+    val n = content.length
+    val MaxArrayNesting = 32
+
+    var ctm = ctm0
+    val gsStack = new mutable.ArrayBuffer[Array[Double]](8)
+    var tm: Array[Double] = Array(1, 0, 0, 1, 0, 0)
+    var tlm: Array[Double] = Array(1, 0, 0, 1, 0, 0)
+    var font: FontInfo = null
+    var fontId: String = null
+    var fontSize = 0.0
+    var tc = 0.0; var tw = 0.0; var ts = 0.0
+    var th = 1.0; var tl = 0.0
+
+    // operand buffer (cleared per operator). Kinds: 0 num, 1 str, 2 name.
+    val opK = new mutable.ArrayBuffer[Int](8)
+    val opN = new mutable.ArrayBuffer[Double](8)
+    val opS = new mutable.ArrayBuffer[String](8)
+    var lastArr: mutable.ArrayBuffer[AnyRef] = null
+    def clearOps(): Unit = { opK.clear(); opN.clear(); opS.clear(); lastArr = null }
+    def push(kind: Int, num: Double, str: String): Unit = {
+      opK += kind; opN += num; opS += str
+    }
+    def num(backFrom: Int): Double = opN(opN.length - backFrom)
+    def lastIs(kind: Int): Boolean = opK.nonEmpty && opK.last == kind
+
+    def decode(code: Int): String =
+      if (font.cmap.nonEmpty) font.cmap.getOrElse(code, code.toChar.toString)
+      else if (font.diffs.nonEmpty) font.diffs.get(code).map(_.toString).getOrElse(
+        if (font.winAnsi && code >= 0x80 && code <= 0x9f) Cp1252Hi(code - 0x80).toString
+        else code.toChar.toString)
+      else if (font.winAnsi && code >= 0x80 && code <= 0x9f) Cp1252Hi(code - 0x80).toString
+      else code.toChar.toString
+
+    def show(raw: String): Unit = {
+      if (font == null) return
+      var k = 0
+      val step = if (font.twoByte) 2 else 1
+      val lim = if (font.twoByte) raw.length - 1 else raw.length
+      while (k < lim) {
+        val code =
+          if (font.twoByte) ((raw.charAt(k) & 0xff) << 8) | (raw.charAt(k + 1) & 0xff)
+          else raw.charAt(k) & 0xff
+        val uni = decode(code)
+        val mm = matMul(tm, ctm)
+        val trm = matMul(Array(fontSize * th, 0, 0, fontSize, 0, ts), mm)
+        val ox = trm(4); val oy = trm(5)
+        val size = math.hypot(trm(0), trm(1))
+        val w0 = font.widths.getOrElse(code, font.dw) / 1000.0
+        val tx = (w0 * fontSize + tc +
+          (if (code == 32 && !font.twoByte) tw else 0.0)) * th
+        val ex = ox + tx * mm(0)
+        val ey = oy + tx * mm(1)
+        out += NChar(uni, ox, oy, ex, ey, size, fontId, font.asc, font.desc)
+        tm = matMul(Array(1, 0, 0, 1, tx, 0), tm)
+        k += step
+      }
+    }
+
+    def handleOp(op: String): Unit = {
+      op match {
+        case "q" => gsStack += ctm
+        case "Q" => if (gsStack.nonEmpty) ctm = gsStack.remove(gsStack.length - 1)
+        case "cm" if opK.length >= 6 =>
+          ctm = matMul(Array(num(6), num(5), num(4), num(3), num(2), num(1)), ctm)
+        case "BT" =>
+          tm = Array(1, 0, 0, 1, 0, 0); tlm = tm
+        case "ET" =>
+        case "Tf" =>
+          if (opK.length >= 1) fontSize = opN.last
+          if (opK.length >= 2 && opK(opK.length - 2) == 2) {
+            fontId = opS(opS.length - 2)
+            font = fonts.getOrElse(fontId, null)
+          }
+        case "Td" | "TD" if opK.length >= 2 =>
+          if (op == "TD") tl = -num(1)
+          tlm = matMul(Array(1, 0, 0, 1, num(2), num(1)), tlm)
+          tm = tlm
+        case "Tm" if opK.length >= 6 =>
+          tm = Array(num(6), num(5), num(4), num(3), num(2), num(1)); tlm = tm
+        case "T*" =>
+          tlm = matMul(Array(1, 0, 0, 1, 0, -tl), tlm); tm = tlm
+        case "TL" if opK.nonEmpty => tl = opN.last
+        case "Tc" if opK.nonEmpty => tc = opN.last
+        case "Tw" if opK.nonEmpty => tw = opN.last
+        case "Tz" if opK.nonEmpty => th = opN.last / 100.0
+        case "Ts" if opK.nonEmpty => ts = opN.last
+        case "Tj" => if (lastIs(1)) show(opS.last)
+        case "'" | "\"" =>
+          // `"` carries aw/ac operands; like the validated prototype the
+          // geometry keeps the PRE-op Tw/Tc (no real writer in this corpus
+          // emits `"`)
+          tlm = matMul(Array(1, 0, 0, 1, 0, -tl), tlm); tm = tlm
+          if (lastIs(1)) show(opS.last)
+        case "TJ" =>
+          if (lastArr != null) {
+            val it = lastArr.iterator
+            while (it.hasNext) it.next() match {
+              case sdoc: String => show(sdoc)
+              case d: java.lang.Double =>
+                val tx = -d.doubleValue / 1000.0 * fontSize * th
+                tm = matMul(Array(1, 0, 0, 1, tx, 0), tm)
+              case _ =>
+            }
+          }
+        case "Do" =>
+          if (lastIs(2)) forms.get(opS.last) match {
+            case Some(f) =>
+              interpretNative(f.content, matMul(f.matrix, ctm),
+                if (f.fonts.nonEmpty) f.fonts else fonts,
+                f.forms, out)
+            case None =>
+          }
+        case "BI" =>
+          val id = content.indexOf("ID", i)
+          if (id >= 0) {
+            var p = content.indexOf("EI", id + 2)
+            var end = -1
+            while (end < 0 && p >= 0) {
+              val okBefore = p > 0 && content.charAt(p - 1).isWhitespace
+              val okAfter = p + 2 >= n || content.charAt(p + 2).isWhitespace ||
+                "([</".indexOf(content.charAt(p + 2)) >= 0
+              if (okBefore && okAfter) end = p + 2
+              else p = content.indexOf("EI", p + 1)
+            }
+            i = if (end < 0) n else end
+          }
+        case _ =>
+      }
+      clearOps()
+    }
+
+    def literalString(): String = { // caller consumed '('
+      val sb = new java.lang.StringBuilder
+      var depth = 1
+      while (i < n && depth > 0) {
+        val spanStart = i
+        while (i < n && { val ch = content.charAt(i)
+                          ch != '\\' && ch != '(' && ch != ')' }) i += 1
+        if (i > spanStart) sb.append(content, spanStart, i)
+        if (i < n) {
+          val ch = content.charAt(i)
+          if (ch == '\\' && i + 1 < n) {
+            content.charAt(i + 1) match {
+              case 'n' => sb.append('\n'); i += 2
+              case 'r' => sb.append('\r'); i += 2
+              case 't' => sb.append('\t'); i += 2
+              case '\n' => i += 2
+              case '\r' =>
+                i += 2
+                if (i < n && content.charAt(i) == '\n') i += 1
+              case d if d >= '0' && d <= '7' =>
+                var v = 0; var k = 0; i += 1
+                while (k < 3 && i < n && content.charAt(i) >= '0' &&
+                       content.charAt(i) <= '7') {
+                  v = (v << 3) | (content.charAt(i) - '0'); i += 1; k += 1
+                }
+                sb.append((v & 0xff).toChar)
+              case other => sb.append(other); i += 2
+            }
+          } else if (ch == '(') { depth += 1; sb.append(ch); i += 1 }
+          else if (ch == ')') { depth -= 1; if (depth > 0) sb.append(ch); i += 1 }
+          else { sb.append(ch); i += 1 }
+        }
+      }
+      sb.toString
+    }
+
+    def hexString(): String = {
+      val sb = new java.lang.StringBuilder
+      var hi = -1
+      var done = false
+      while (i < n && !done) {
+        val ch = content.charAt(i)
+        if (ch == '>') { done = true; i += 1 }
+        else {
+          val d = Character.digit(ch, 16)
+          if (d >= 0) {
+            if (hi < 0) hi = d
+            else { sb.append(((hi << 4) | d).toChar); hi = -1 }
+          }
+          i += 1
+        }
+      }
+      if (hi >= 0) sb.append((hi << 4).toChar)
+      sb.toString
+    }
+
+    def number(): Double = {
+      val start = i
+      var hasDot = content.charAt(i) == '.'
+      i += 1
+      while (i < n && (content.charAt(i).isDigit || content.charAt(i) == '.')) {
+        if (content.charAt(i) == '.') hasDot = true
+        i += 1
+      }
+      val c0 = content.charAt(start)
+      val digits0 = if (c0 == '-' || c0 == '+') start + 1 else start
+      if (!hasDot && i > digits0 && i - digits0 <= 15) {
+        var v = 0L
+        var k = digits0
+        while (k < i) { v = v * 10 + (content.charAt(k) - '0'); k += 1 }
+        if (c0 == '-') -v.toDouble else v.toDouble
+      } else if (!hasDot && i == digits0) Double.NaN
+      else {
+        try content.substring(start, i).toDouble
+        catch { case _: NumberFormatException => Double.NaN }
+      }
+    }
+
+    def skipName(): String = {
+      val start = i + 1
+      i += 1
+      while (i < n && !content.charAt(i).isWhitespace && content.charAt(i) != '/' &&
+             content.charAt(i) != '(' && content.charAt(i) != '[' &&
+             content.charAt(i) != '<' && content.charAt(i) != ']') i += 1
+      content.substring(start, i)
+    }
+
+    def parseArray(depth: Int): mutable.ArrayBuffer[AnyRef] = {
+      val elems = new mutable.ArrayBuffer[AnyRef](8)
+      var done = false
+      while (!done) {
+        while (i < n && content.charAt(i).isWhitespace) i += 1
+        if (i >= n) done = true
+        else {
+          val c = content.charAt(i)
+          if (c == ']') { i += 1; done = true }
+          else if (c == '(') { i += 1; elems += literalString() }
+          else if (c == '<') {
+            if (i + 1 < n && content.charAt(i + 1) == '<') i += 2
+            else { i += 1; elems += hexString() }
+          } else if (c == '>') {
+            if (i + 1 < n && content.charAt(i + 1) == '>') i += 2
+            else i += 1
+          } else if (c == '/') { skipName(); () }
+          else if (c == '-' || c == '+' || c == '.' || c.isDigit) {
+            val v = number()
+            if (!v.isNaN) elems += java.lang.Double.valueOf(v)
+          } else if (c == '[') {
+            i += 1
+            if (depth < MaxArrayNesting) { parseArray(depth + 1); () }
+          } else {
+            val start = i
+            while (i < n && !content.charAt(i).isWhitespace &&
+                   content.charAt(i) != '(' && content.charAt(i) != '/' &&
+                   content.charAt(i) != '[' && content.charAt(i) != '<' &&
+                   content.charAt(i) != ']') i += 1
+            if (i == start) i += 1
+          }
+        }
+      }
+      elems
+    }
+
+    // ---- main scan ----
+    while (i < n) {
+      val c = content.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '(') { i += 1; push(1, 0.0, literalString()) }
+      else if (c == '<') {
+        if (i + 1 < n && content.charAt(i + 1) == '<') { i += 2; handleOp("<<") }
+        else { i += 1; push(1, 0.0, hexString()) }
+      } else if (c == '>') {
+        if (i + 1 < n && content.charAt(i + 1) == '>') { i += 2; handleOp(">>") }
+        else i += 1
+      } else if (c == '/') push(2, 0.0, skipName())
+      else if (c == '-' || c == '+' || c == '.' || c.isDigit) {
+        val v = number()
+        if (!v.isNaN) push(0, v, null)
+      } else if (c == '[') {
+        i += 1
+        lastArr = parseArray(1)
+      } else if (c == ']') i += 1
+      else {
+        val start = i
+        while (i < n && !content.charAt(i).isWhitespace &&
+               content.charAt(i) != '(' && content.charAt(i) != '/' &&
+               content.charAt(i) != '[' && content.charAt(i) != '<' &&
+               content.charAt(i) != ']') i += 1
+        if (i > start) handleOp(content.substring(start, i))
+        else i += 1
+      }
+    }
+  }
+
+  /** MuPDF-style span assembly over the glyph stream: same span while the
+    * style (Tf resource name + effective size) holds and the pen advances
+    * within SpaceDist; gaps in [SpaceDist, SpaceMaxDist] synthesize one
+    * space; larger gaps / backward motion / baseline change start a new
+    * span. Emits the reference's TextItem contract: stripped text,
+    * `x=int(x0)`, `y=int(baseline − ascent·size)`, `width=int(x1−x0)`,
+    * `height=int((ascent+descent)·size)`, confidence 100
+    * (`smart_extract.py:85-93`). */
+  private def buildSpans(chars: collection.Seq[NChar], page: Int,
+                         out: mutable.Builder[TextItem, Vector[TextItem]]): Unit = {
+    var has = false
+    val text = new java.lang.StringBuilder
+    var x0 = 0.0; var base = 0.0; var x1 = 0.0; var size = 0.0
+    var fid: String = null; var asc = 0.8; var desc = 0.2
+    var penX = 0.0; var penY = 0.0
+
+    def flush(): Unit = if (has) {
+      val t = Py.strip(text.toString)
+      if (t.nonEmpty) {
+        val y0 = base - asc * size
+        val y1 = base + desc * size
+        out += TextItem(t, page, x0.toInt, y0.toInt,
+          (x1 - x0).toInt, (y1 - y0).toInt, 100)
+      }
+    }
+
+    for (ch <- chars) {
+      var newLine = false
+      var addSpace = false
+      if (!has) newLine = true
+      else {
+        val dist = if (size != 0) (ch.ox - penX) / size else 0.0
+        val baseOff = if (size != 0) (ch.oy - penY) / size else 0.0
+        if (math.abs(baseOff) > BaseMaxDist) newLine = true
+        else if (dist < -SpaceDist) newLine = true
+        else if (dist >= SpaceDist && dist <= SpaceMaxDist) addSpace = true
+        else if (dist > SpaceMaxDist) newLine = true
+      }
+      val styleChange = has &&
+        (ch.fontId != fid || math.abs(ch.size - size) > 0.01)
+      if (newLine || styleChange) {
+        flush()
+        has = true
+        text.setLength(0)
+        x0 = ch.ox; base = ch.oy; x1 = ch.ex; size = ch.size
+        fid = ch.fontId; asc = ch.asc; desc = ch.desc
+        if (addSpace && styleChange && !newLine) text.append(' ')
+      } else if (addSpace &&
+                 (text.length == 0 || text.charAt(text.length - 1) != ' ')) {
+        text.append(' ')
+      }
+      text.append(ch.uni)
+      if (ch.ex > x1) x1 = ch.ex
+      penX = ch.ex; penY = ch.ey
+    }
+    flush()
   }
 }

@@ -707,6 +707,76 @@ object ExtractOps {
        |       min(created) AS first_created, max(created) AS last_created
        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q51_real_pdf_batch — the REAL-corpus gate (VERDICT r04 "next round"
+    * #1): run the 241 genuine PDFs shipped inside the reference repo through
+    * the native-route parser ([[graft.kernel.PdfLite.parseNative]], the
+    * PyMuPDF twin) + the newark template + the slicer kernel, and reproduce
+    * the reference's OWN outputs — `single_page_debug.log`'s page-1 funnel
+    * (256 items → 149 in box → 19 raw rows → 10 merged) and the full
+    * `NEWARK_SMART_20250902_120119.xlsx` batch (2 136 rows, hashed cell for
+    * cell). Every other gate in this repo parses bytes written by the
+    * repo's own writer twin; this one parses bytes the repo has never
+    * controlled. Plan shape: binaryFile scan → one narrow struct expression
+    * per document ([[graft.functions.PdfTableGridExpr]]) → single partial
+    * agg; the only driver-side state is 241 per-page digest strings inside
+    * `collect_list` (at 10^9 documents the same query hashes per-shard and
+    * re-aggregates — the data path itself is one shuffle-free map stage).
+    * Oracle: literals read from `data/realpdf_batch.json`, which
+    * `tools/gen_golden_realpdf.py` derives from the xlsx + debug log — the
+    * reference's artifacts, not this repo's parser. */
+  def q51RealPdfBatch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PdfTableGridExpr.pdfTableGrid
+    val pages = spark.read.format("binaryFile")
+      .load(graft.kernel.RealPdf.Dir + "/*_page*.pdf")
+      .select(col("path"), pdfTableGrid(col("content")).as("f"))
+      .select(col("path"),
+        col("f.n_items").as("n_items"), col("f.in_box").as("in_box"),
+        col("f.raw_rows").as("raw_rows"), size(col("f.grid")).as("n_rows"),
+        array_join(transform(col("f.grid"),
+          r => array_join(r, "")), "").as("ser"))
+    val isP1 = col("path").endsWith("_page1.pdf")
+    pages
+      .agg(
+        count(lit(1)).as("n_pages"),
+        sum(col("n_rows")).as("total_rows"),
+        max(when(isP1, col("n_items"))).as("page1_items"),
+        max(when(isP1, col("in_box"))).as("page1_in_box"),
+        max(when(isP1, col("raw_rows"))).as("page1_raw_rows"),
+        max(when(isP1, col("n_rows"))).as("page1_rows"),
+        collect_list(struct(col("path"), col("ser"))).as("pages"))
+      .select(col("n_pages"), col("total_rows"), col("page1_items"),
+        col("page1_in_box"), col("page1_raw_rows"), col("page1_rows"),
+        // page order = lexicographic path = the reference's sorted-glob
+        // batch order; the concatenation reproduces the xlsx row stream
+        md5(encode(array_join(transform(array_sort(col("pages")),
+          x => x.getField("ser")), ""), "UTF-8")).as("cells_md5"))
+  }
+
+  /** Oracle literals for q51: read from the committed
+    * `data/realpdf_batch.json` fixture (derived from the reference's xlsx +
+    * debug log by `tools/gen_golden_realpdf.py`) so the numbers live in ONE
+    * regenerable place, never in source. */
+  val q51RealPdfBatchSql: String = {
+    val j =
+      try {
+        val src = scala.io.Source.fromFile(
+          s"$GoldenDir/realpdf_batch.json", "UTF-8")
+        try src.mkString finally src.close()
+      } catch { case _: Exception => "" }
+    def field(k: String, dflt: String): String = {
+      val m = java.util.regex.Pattern
+        .compile("\"" + k + "\":\\s*\"?([0-9a-f.]+)\"?").matcher(j)
+      if (m.find()) m.group(1) else dflt
+    }
+    s"SELECT ${field("n_pages", "0")} AS n_pages, " +
+      s"${field("total_rows", "0")} AS total_rows, " +
+      s"${field("items", "0")} AS page1_items, " +
+      s"${field("in_box", "0")} AS page1_in_box, " +
+      s"${field("raw_rows", "0")} AS page1_raw_rows, " +
+      s"${field("rows", "0")} AS page1_rows, " +
+      s"'${field("cells_md5", "missing-fixture")}' AS cells_md5"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_extract_rollup" -> (q25ExtractRollup _),
     "q26_extract_text_hash" -> (q26ExtractTextHash _),
@@ -725,7 +795,8 @@ object ExtractOps {
     "q47_redact" -> (q47Redact _),
     "q48_dialect_census" -> (q48DialectCensus _),
     "q49_outlinks" -> (q49Outlinks _),
-    "q50_doc_meta" -> (q50DocMeta _))
+    "q50_doc_meta" -> (q50DocMeta _),
+    "q51_real_pdf_batch" -> (q51RealPdfBatch _))
 
   def oracles: Map[String, String] = Map(
     "q25_extract_rollup" -> q25ExtractRollupSql,
@@ -745,5 +816,6 @@ object ExtractOps {
     "q47_redact" -> q47RedactSql,
     "q48_dialect_census" -> q48DialectCensusSql,
     "q49_outlinks" -> q49OutlinksSql,
-    "q50_doc_meta" -> q50DocMetaSql)
+    "q50_doc_meta" -> q50DocMetaSql,
+    "q51_real_pdf_batch" -> q51RealPdfBatchSql)
 }

@@ -13,7 +13,7 @@ object ProbeRealPdf {
       else "/root/reference/DRISCOLL CF ORDERS FOR THE WEEK OF SEPTEMBER 8, 2025_page1.pdf"
     val bytes = Files.readAllBytes(Paths.get(path))
     println(s"file: $path (${bytes.length} bytes)  isPdf=${PdfLite.isPdf(bytes)}")
-    val parsed = PdfLite.parse(bytes)
+    val parsed = PdfLite.parseNative(bytes)
     println(s"items=${parsed.items.size} pageW=${parsed.pageW} pageH=${parsed.pageH} " +
       s"hasImage=${parsed.hasImage} nPages=${parsed.nPages}")
     val box = Seq(35, 290, 1609, 1099)
