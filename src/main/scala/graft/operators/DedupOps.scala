@@ -277,15 +277,97 @@ object DedupOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Verified-pair similarity floor feeding q52: a q20 pair is a confirmed
+    * duplicate when its TRUE Jaccard (not the LSH estimate) reaches this. */
+  val DupJaccard = 0.5
+
+  /** Propagation-round cap for q52's connected components. Dup graphs are
+    * near-cliques (groups of near-identical documents), so the diameter is
+    * tiny and min-label propagation converges in 2–3 rounds; the cap only
+    * bounds an adversarial chain. The loop early-stops on convergence. */
+  val CcMaxRounds = 20
+
+  /** q52_dup_clusters — transitive closure over the verified near-dup pairs
+    * (VERDICT r04 "missing" + "next round" #4): pairs alone don't dedup — a
+    * real pipeline needs one survivor per CLUSTER. Deterministic min-label
+    * propagation: every node starts labeled with its own id; each round
+    * takes the min label over neighbors; the unique fixed point labels every
+    * component with its smallest doc_id (execution order can't change it).
+    * `is_survivor` marks the representative each cluster keeps.
+    *
+    * Scale: each round is one shuffle (edge join + min agg) over the DUP
+    * GRAPH (edges = verified pairs, orders of magnitude smaller than the
+    * corpus); rounds needed = component diameter, 2–3 for near-clique dup
+    * groups. Per-round `cache` + early-stop keeps lineage flat. At 10^12
+    * docs the same loop runs with checkpointing per round; for adversarial
+    * long-chain graphs switch to pointer-jumping (label-of-label doubling,
+    * O(log d) rounds) — the dataflow is unchanged, only what joins what.
+    * Oracle: DuckDB recursive CTE reaching min label over the same edges. */
+  def q52DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = q20MinhashLsh(spark, dir)
+      .filter(col("jaccard") >= DupJaccard)
+      .select(col("id_a"), col("id_b"))
+      .cache()
+    val edges = pairs
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .toDF("src", "dst")
+      .cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id"))
+      .cache()
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < CcMaxRounds) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("src"), col("lbl")), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("lbl")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
+        .cache()
+      changed = next
+        .join(labels.select(col("doc_id"), col("lbl").as("old_lbl")), "doc_id")
+        .filter(col("lbl") =!= col("old_lbl"))
+        .count()
+      labels.unpersist()
+      labels = next
+      round += 1
+    }
+    labels
+      .select(col("doc_id"), col("lbl").as("cluster_rep"),
+        (col("doc_id") === col("lbl")).as("is_survivor"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q52DupClustersSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT id_a, id_b FROM ($q20MinhashLshSql) q WHERE jaccard >= $DupJaccard),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |cc(id, lbl) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dst, c.lbl FROM cc c JOIN edges e ON e.src = c.id
+       |  WHERE c.lbl < e.dst)
+       |SELECT id AS doc_id, min(lbl) AS cluster_rep,
+       |       (id = min(lbl)) AS is_survivor
+       |FROM cc GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_dedup_exact" -> (q18DedupExact _),
     "q19_dedup_ngram" -> (q19DedupNgram _),
     "q20_minhash_lsh" -> (q20MinhashLsh _),
-    "q21_simhash" -> (q21Simhash _))
+    "q21_simhash" -> (q21Simhash _),
+    "q52_dup_clusters" -> (q52DupClusters _))
 
   def oracles: Map[String, String] = Map(
     "q18_dedup_exact" -> q18DedupExactSql,
     "q19_dedup_ngram" -> q19DedupNgramSql,
     "q20_minhash_lsh" -> q20MinhashLshSql,
-    "q21_simhash" -> q21SimhashSql)
+    "q21_simhash" -> q21SimhashSql,
+    "q52_dup_clusters" -> q52DupClustersSql)
 }
