@@ -169,6 +169,16 @@ object EmbeddingOps {
   val IvfSeeds = 16
   val IvfProbes = 2
 
+  /** Fixed Lloyd iterations refining the IVF coarse quantizer (VERDICT r04
+    * "next round" #7 — first-16 seeds alone are arbitrary cells, not an
+    * index). Three rounds is the classic "most of k-means' gain" point; a
+    * FIXED count keeps the index a pure function of the data (deterministic,
+    * oracle-expressible as three CTE rounds). */
+  val IvfLloydRounds = 3
+
+  /** Embedding dimensionality of the `embeddings` table. */
+  val EmbDims = 64
+
   /** Squared L2 distance, left-to-right fold (deterministic). */
   private def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
@@ -176,25 +186,85 @@ object EmbeddingOps {
   private def l2sqSql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), x -> (x[1]-x[2])*(x[1]-x[2])))"
 
-  /** q37_ann_ivf — IVF-style ANN: the first [[IvfSeeds]] vectors act as
-    * fixed coarse centroids (deterministic "training", so the DuckDB oracle
-    * reproduces the index bit-for-bit); every vector is assigned to its
-    * nearest centroid (ties → smaller centroid id), the query probes its
-    * [[IvfProbes]] nearest cells, and candidates in those cells are ranked
-    * by true cosine. At corpus scale the centroid table stays broadcast
-    * (k-means output, KBs) and the only shuffle is the cell-id join —
-    * the same dataflow as a production IVF index. */
+  /** One Lloyd assignment: nearest centroid per vector (ties → smaller
+    * centroid id). Centroids ride a broadcast — the corpus is never
+    * shuffled for training. */
+  private def assignCells(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .withColumn("dist", l2sq(col("v"), col("sv")))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("dist").asc, col("seed_id").asc)))
+      .filter(col("rk") === 1)
+
+  /** [[IvfLloydRounds]] Lloyd iterations from the first-[[IvfSeeds]] seeds.
+    * Centroid update = per-dim mean of the assigned vectors, summed through
+    * DECIMAL ([[OpsCommon.decSum]]) so the result is identical under ANY
+    * partitioning on either engine (double addition is order-sensitive; the
+    * q25 lesson applied to k-means). Cells that lose every member keep
+    * their previous centroid. Each round: one broadcast-join assignment +
+    * one (cell, dim) partial agg — no corpus shuffle, so the training loop
+    * itself survives 100×. */
+  private def lloydCentroids(e: DataFrame): DataFrame = {
+    var cents = e.filter(col("vec_id") < IvfSeeds)
+      .select(col("vec_id").as("seed_id"), col("v").as("sv"))
+    for (_ <- 1 to IvfLloydRounds) {
+      val assigned = assignCells(e, cents)
+        .select(col("vec_id"), col("v"), col("seed_id"))
+      val means = assigned
+        .select(col("seed_id"), posexplode(col("v")).as(Seq("dim", "val")))
+        .groupBy(col("seed_id"), col("dim"))
+        .agg((OpsCommon.decSum(col("val"), 9) / count(lit(1))).as("c"))
+        .groupBy(col("seed_id"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          x => x.getField("c")).as("sv"))
+      cents = means.union(
+        cents.join(means.select(col("seed_id")), Seq("seed_id"), "left_anti"))
+    }
+    cents
+  }
+
+  /** DuckDB mirror of [[lloydCentroids]]: [[IvfLloydRounds]] CTE rounds of
+    * assign (window rank over a cross join with the 16 centroids) + update
+    * (per-dim decimal-sum mean, `list(... ORDER BY dim)` re-assembly). */
+  private def lloydCentroidsSql: String = {
+    val rounds = (1 to IvfLloydRounds).map { r =>
+      s"""assign$r AS (
+         |  SELECT vec_id, v, seed_id FROM (
+         |    SELECT e.vec_id, e.v, c.seed_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2sqSql("e.v", "c.sv")} ASC, c.seed_id ASC) AS rk
+         |    FROM e CROSS JOIN cents${r - 1} c) WHERE rk = 1),
+         |means$r AS (
+         |  SELECT seed_id, list(c ORDER BY dim) AS sv FROM (
+         |    SELECT seed_id, dim,
+         |      ${OpsCommon.decSumSql("val", 9)} / count(*) AS c
+         |    FROM (SELECT seed_id, i AS dim, v[i + 1] AS val
+         |          FROM assign$r CROSS JOIN range($EmbDims) t(i))
+         |    GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |cents$r AS (
+         |  SELECT * FROM means$r
+         |  UNION ALL
+         |  SELECT * FROM cents${r - 1}
+         |  WHERE seed_id NOT IN (SELECT seed_id FROM means$r))""".stripMargin
+    }.mkString(",\n")
+    s"""cents0 AS (SELECT vec_id AS seed_id, v AS sv FROM e WHERE vec_id < $IvfSeeds),
+       |$rounds""".stripMargin
+  }
+
+  /** q37_ann_ivf — IVF ANN with a REAL trained coarse quantizer:
+    * [[IvfLloydRounds]] fixed Lloyd iterations from the first-[[IvfSeeds]]
+    * seeds (deterministic, so the DuckDB oracle reproduces the index
+    * bit-for-bit); every vector is assigned to its nearest centroid (ties →
+    * smaller centroid id), the query probes its [[IvfProbes]] nearest cells,
+    * and candidates in those cells are ranked by true cosine. At corpus
+    * scale the centroid table stays broadcast (k-means output, KBs) and the
+    * only shuffle is the cell-id join — the same dataflow as a production
+    * IVF index. */
   def q37AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = embDocs(spark, dir)
-    val seeds = e.filter(col("vec_id") < IvfSeeds)
-      .select(col("vec_id").as("seed_id"), col("v").as("sv"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist").asc, col("seed_id").asc)
-    val assigned = e
-      .crossJoin(broadcast(seeds))
-      .withColumn("dist", l2sq(col("v"), col("sv")))
-      .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") === 1)
+    val seeds = lloydCentroids(e)
+    val assigned = assignCells(e, seeds)
       .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("seed_id").as("cell"))
     val qCells = assigned.filter(col("vec_id") === 0)
       .crossJoin(broadcast(seeds))
@@ -213,7 +283,8 @@ object EmbeddingOps {
 
   val q37AnnIvfSql: String =
     s"""WITH e AS ($embSql),
-       |seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e WHERE vec_id < $IvfSeeds),
+       |$lloydCentroidsSql,
+       |seeds AS (SELECT seed_id, sv FROM cents$IvfLloydRounds),
        |assigned AS (
        |  SELECT vec_id, label, v, nrm, seed_id AS cell FROM (
        |    SELECT e.vec_id, e.label, e.v, e.nrm, s.seed_id,
@@ -233,15 +304,61 @@ object EmbeddingOps {
        |WHERE a.vec_id <> 0
        |ORDER BY sim DESC, a.vec_id ASC LIMIT 5""".stripMargin
 
+  /** Batch size and per-query k for q53. */
+  val AnnBatch = 8
+  val AnnBatchK = 3
+
+  /** q53_ann_batch — N query vectors answered in ONE corpus pass (VERDICT
+    * r04 "missing": q22/q23/q37 serve one query each; single-query ANN is
+    * scan-bound, it's the BATCH case that actually needs an index at
+    * 10^12 docs). The first [[AnnBatch]] vectors form the query batch; every
+    * corpus vector joins the queries sharing its sign-LSH bucket, then a
+    * per-query window keeps the top-[[AnnBatchK]] by true cosine.
+    *
+    * Plan shape: ONE scan of the corpus side, broadcast of the query batch
+    * (queries × 16 buckets is KBs; for a query set too big to broadcast the
+    * same query becomes a shuffle equi-join on `bucket` — the dataflow is
+    * unchanged), window partitioned BY QUERY (never global). The corpus is
+    * read once for all N queries — the amortization that makes batch ANN an
+    * index workload rather than N scans. */
+  def q53AnnBatch(spark: SparkSession, dir: String): DataFrame = {
+    val e = embDocs(spark, dir).withColumn("bucket", lshBucket(col("v")))
+    val qs = e.filter(col("vec_id") < AnnBatch)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket").as("qbucket"))
+    e.filter(col("vec_id") >= AnnBatch)
+      .join(broadcast(qs), col("bucket") === col("qbucket"))
+      .withColumn("sim", cosPre(col("v"), col("qv"), col("nrm"), col("qn")))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("vec_id").asc)))
+      .filter(col("rk") <= AnnBatchK)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("sim"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val q53AnnBatchSql: String =
+    s"""WITH e AS (SELECT vec_id, v, nrm, $lshBucketSql AS bucket FROM ($embSql)),
+       |qs AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket AS qbucket
+       |       FROM e WHERE vec_id < $AnnBatch)
+       |SELECT query_id, rk, vec_id, sim FROM (
+       |  SELECT query_id, vec_id,
+       |    ${cosPreSql("v", "qv", "nrm", "qn")} AS sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY ${cosPreSql("v", "qv", "nrm", "qn")} DESC, vec_id ASC) AS rk
+       |  FROM e JOIN qs ON bucket = qbucket WHERE vec_id >= $AnnBatch)
+       |WHERE rk <= $AnnBatchK ORDER BY query_id, rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_cosine_topk" -> (q22CosineTopk _),
     "q23_ann_lsh" -> (q23AnnLsh _),
     "q24_emb_neardup" -> (q24EmbNeardup _),
-    "q37_ann_ivf" -> (q37AnnIvf _))
+    "q37_ann_ivf" -> (q37AnnIvf _),
+    "q53_ann_batch" -> (q53AnnBatch _))
 
   def oracles: Map[String, String] = Map(
     "q22_cosine_topk" -> q22CosineTopkSql,
     "q23_ann_lsh" -> q23AnnLshSql,
     "q24_emb_neardup" -> q24EmbNeardupSql,
-    "q37_ann_ivf" -> q37AnnIvfSql)
+    "q37_ann_ivf" -> q37AnnIvfSql,
+    "q53_ann_batch" -> q53AnnBatchSql)
 }

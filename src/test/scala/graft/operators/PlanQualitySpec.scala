@@ -77,6 +77,15 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("salt"), s"q19 pair join lost its hot-key salting:\n$p")
   }
 
+  test("q53_ann_batch: query batch broadcast, per-query window (no global sort)") {
+    val p = plan("q53_ann_batch")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"query batch not broadcast:\n$p")
+    assert(p.contains("hashpartitioning(query_id"),
+      s"top-k window not partitioned by query:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q28_fuzzy_match: native SimRatio expression, no UDF node in the plan") {
     val p = plan("q28_fuzzy_match")
     assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
