@@ -147,3 +147,46 @@ final class CsvFallbackTableIO(primary: TableIO, csvPath: String) extends TableI
   override def lineageExists(spark: SparkSession): Boolean = primary.lineageExists(spark)
   override def readLineage(spark: SparkSession): DataFrame = primary.readLineage(spark)
 }
+
+/** S9 — the reference's ACTUAL per-document sink pairing
+  * (`table_slicer.py:149-162`): the primary artifact is an XLSX workbook
+  * (`df.to_excel(..., index=False, header=False)`), and when the Excel save
+  * fails the SAME frame degrades to headerless CSV — per document, not per
+  * table. This decorator writes the scalable docs table through `inner`
+  * unchanged, then adds an ARTIFACT table alongside: one row per document
+  * carrying the workbook bytes ([[graft.functions.XlsxGrid]], the
+  * deterministic kernel writer) or, exactly when the grid exceeds Excel's
+  * sheet limits (the real to_excel failure mode), the CSV rendering with
+  * `format = 'csv'`. The whole pairing is ONE codegen-friendly projection —
+  * a per-row `coalesce` over two expressions, no driver loop, no UDF — so
+  * artifact emission rides the same narrow stage as the docs write. */
+final class XlsxArtifactTableIO(inner: TableIO, artifactDir: String) extends TableIO {
+  import org.apache.spark.sql.functions._
+  import graft.functions.{CsvGrid, XlsxGrid}
+
+  val artifactsPath = s"$artifactDir/artifacts"
+
+  override def writeDocs(docs: DataFrame): Unit = {
+    inner.writeDocs(docs)
+    docs
+      .select(col("url"), col("vendor"), col("bucket"),
+        XlsxGrid.column(col("cells")).as("xlsx"),
+        CsvGrid.column(col("cells")).as("csv"))
+      .select(col("url"), col("vendor"),
+        when(col("xlsx").isNotNull, lit("xlsx")).otherwise(lit("csv")).as("format"),
+        coalesce(col("xlsx"), encode(col("csv"), "UTF-8")).as("artifact"),
+        col("bucket"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(artifactsPath)
+  }
+
+  def readArtifacts(spark: SparkSession): DataFrame =
+    spark.read.parquet(artifactsPath)
+
+  override def readDocs(spark: SparkSession): DataFrame = inner.readDocs(spark)
+  override def appendLineage(lineage: DataFrame): Unit = inner.appendLineage(lineage)
+  override def lineageExists(spark: SparkSession): Boolean = inner.lineageExists(spark)
+  override def readLineage(spark: SparkSession): DataFrame = inner.readLineage(spark)
+}
