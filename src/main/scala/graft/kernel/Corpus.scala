@@ -202,9 +202,10 @@ object Corpus {
       // ~17% /ObjStm containers (type-2-located when an xref stream is
       // present), ~17% WinAnsiEncoding (cp1252-only chars), ~8% /ToUnicode
       // CMap fonts (chars beyond cp1252 entirely), ~8% ASCIIHex-armored
-      // streams, ~6% ASCII85-armored (never stacked with hex), ~7%
-      // LZWDecode (the pre-Flate compressor old tools still emit), ~5%
-      // RunLengthDecode on otherwise-raw streams,
+      // streams, ASCII85 armor on 1/16 of non-hex-armored docs (≈6% of all
+      // docs, never stacked with hex), ~7% LZWDecode (the pre-Flate
+      // compressor old tools still emit), RunLengthDecode on 1/14 of
+      // otherwise-raw (non-Flate, non-LZW) streams (≈5% of all docs),
       // half of xref STREAMS PNG-Up predictor-encoded (the modern-
       // writer default), ~5% /Rotate 90/180/270 pages, ~8% Identity-H
       // composite fonts (2-byte CID codes + /ToUnicode, the CJK/subset-font
@@ -239,8 +240,9 @@ object Corpus {
       // WinAnsi, 5 embedded symbolic TrueType (/FontFile2)
       val encDraw = rng.nextInt(12)
       val hexArmor = rng.nextInt(12) == 0
-      // base-85 armor (~6%, never stacked with hex) and RunLengthDecode
-      // (~7% of otherwise-raw streams — the fax/driver-era compressor)
+      // base-85 armor: 1/16 of non-hex-armored docs ≈ 6% of all docs;
+      // RunLengthDecode (below): 1/14 of otherwise-raw streams ≈ 5% of all
+      // docs — the fax/driver-era compressor
       val a85Armor = !hexArmor && rng.nextInt(16) == 0
       val winAnsi = encDraw <= 1
       val toUnicode = encDraw == 2

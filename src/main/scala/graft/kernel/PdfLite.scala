@@ -1197,12 +1197,33 @@ object PdfLite {
   /** Ordered `/Filter` chain of an object's dict (PDF 32000-1 §7.4.1):
     * either a single name or an array listing filters in the order they
     * must be APPLIED to decode. Empty when the stream is stored raw. */
-  private def filterNames(dict: String): List[String] = {
+  /** `/Filter` names in declared order. Handles the three legal layouts:
+    * a single name, an inline array, and (when the whole file text `s` is
+    * supplied) an INDIRECT reference `\/Filter 5 0 R` to a name-or-array
+    * object — a layout some real writers emit (ADVICE r04). */
+  private def filterNames(dict: String, s: String = null): List[String] = {
     val i = dict.indexOf("/Filter")
     if (i < 0) return Nil
     var k = i + "/Filter".length
     while (k < dict.length && Character.isWhitespace(dict.charAt(k))) k += 1
     if (k >= dict.length) Nil
+    else if (dict.charAt(k).isDigit) {
+      if (s == null) Nil
+      else refOf(dict.substring(i), "/Filter") match {
+        case Some(num) =>
+          // targeted scan for "num G obj": the object body IS the
+          // name/array; re-parse it through the inline paths above
+          val m = java.util.regex.Pattern
+            .compile("(?<![0-9])" + num + "\\s+\\d+\\s+obj").matcher(s)
+          if (!m.find()) Nil
+          else {
+            val end = s.indexOf("endobj", m.end())
+            val body = s.substring(m.end(), if (end < 0) s.length else end)
+            filterNames("/Filter " + body.trim)
+          }
+        case None => Nil
+      }
+    }
     else if (dict.charAt(k) == '[') {
       val close = dict.indexOf(']', k)
       if (close < 0) Nil
@@ -1232,7 +1253,7 @@ object PdfLite {
     * (PNG/TIFF) is undone after full decompression. */
   private def streamText(s: String, o: PdfObj): String = {
     if (!o.hasStream) return ""
-    val chain = filterNames(o.dict)
+    val chain = filterNames(o.dict, s)
     if (chain.isEmpty) return s.substring(o.streamStart, o.streamEnd)
     // fast paths: the overwhelmingly common single-filter streams decode
     // straight out of the file string with no substring copy
@@ -1954,6 +1975,8 @@ object PdfLite {
           case 'b' => sb.append('\b')
           case 'f' => sb.append('\f')
           case '\n' => () // line continuation
+          case '\r' => // \<CR> or \<CRLF> continuation (PDF 32000-1 §7.3.4.2)
+            if (k < s.length && s.charAt(k) == '\n') k += 1
           case d if d >= '0' && d <= '7' =>
             var v = d - '0'
             var nd = 1
@@ -2044,10 +2067,14 @@ object PdfLite {
     try {
       val s = decryptIfNeeded(new String(payload, Latin1))
       val objs = scanObjects(s)
+      // modern writers commonly house the /Info dict inside an /ObjStm
+      // container — expand them like links() does, so both the trailer
+      // resolve and the structural fallback see compressed objects too
+      val all = objs ++ expandObjStms(objs, s).toVector.sortBy(_._1).flatMap(_._2)
       val byTrailer = parseXrefChain(s).trailer
         .flatMap(t => refOf(t, "/Info"))
-        .flatMap(n => objs.find(_.num == n).map(_.dict))
-      val dict = byTrailer.orElse(objs.map(_.dict).find(d =>
+        .flatMap(n => all.find(_.num == n).map(_.dict))
+      val dict = byTrailer.orElse(all.map(_.dict).find(d =>
         d.contains("/Producer") || d.contains("/CreationDate")))
       dict.map(d => DocInfo(
         stringAfter(d, "/Title").getOrElse(""),
