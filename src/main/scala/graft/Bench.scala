@@ -44,31 +44,35 @@ import graft.spark.{ExtractJob, ExtractPipeline}
   */
 object BenchRef {
   /** Corpus generation these floors were measured on (BENCH_LOCAL.json). */
-  val refCorpusVersion = 14
+  val refCorpusVersion = 15
   /** Clean-window best docs/s at the pinned N=1-core level (600k docs).
-    * Source: the 2026-08-18 pinned 1→4 scaling runs on corpus v14
-    * (best 128.55 s / 4 667 docs/s at 600k; floor set ~4 % under). */
-  val tNDocsPerSec = 4500.0
+    * Source: the 2026-08-19 pinned 1→4 scaling run on corpus v15
+    * (best 132.07 s / 4 543 docs/s at 600k — CFF tier adds ~3 % per-doc
+    * cost over v14's 4 667; floor set ~4 % under). */
+  val tNDocsPerSec = 4350.0
   /** Clean-window best docs/s at the pinned 4N=4-core level (best
-    * 41.26 s / 14 543 docs/s on the same runs; floor ~4 % under). */
-  val t4NDocsPerSec = 14000.0
+    * 41.49 s / 14 460 docs/s on the same run; floor ~4 % under). */
+  val t4NDocsPerSec = 13900.0
   /** A level is degraded when its best rate falls below ref/thisFactor. */
   val degradedFactor = 1.5
-  /** Clean-window best-of-3 seconds per headline query (sf0.1, 32 threads).
-    * q25/q38 (the only corpus-bound entries) re-measured on corpus v14
-    * (DebugTiming warm, 2026-08-18: q25 3.05 s — v14 doubles per-doc parse
-    * cost vs v9 — and q38 0.81 s); the rest run over the static testdata
-    * tables, unchanged since v9's measurement. */
+  /** Clean-window best-of seconds per headline query (sf0.1, 32 threads).
+    * q25/q38/q19/q20 re-measured on corpus v15 (DebugTiming warm,
+    * 2026-08-19, two JVMs × 2 reps: q25 0.64–0.93 s, q38 0.56–0.79 s —
+    * v14's 2.90/0.90 refs were measured inside a degraded-ish window, the
+    * clean rate ≈25 k pages/s at 20 k sf0.1 pages matches the raw-thread
+    * ceiling; q19 1.39 s includes the round-5 hot-key salting census;
+    * q20 1.39 s); the rest run over the static testdata tables, unchanged
+    * since v9's measurement. */
   val queryRefSec: Map[String, Double] = Map(
     "q1_agg" -> 0.50, "q2_filter" -> 0.45, "q3_join_broadcast" -> 0.55,
     "q4_semi_join" -> 0.59, "q6_topk_window" -> 0.29, "q9_median" -> 0.22,
     "q11_sessionize" -> 0.25, "q12_time_window" -> 0.24,
     "q14_token_stats" -> 0.20, "q16_quality_score" -> 0.20,
-    "q19_dedup_ngram" -> 0.95, "q20_minhash_lsh" -> 1.36,
+    "q19_dedup_ngram" -> 1.40, "q20_minhash_lsh" -> 1.40,
     "q21_simhash" -> 0.31, "q22_cosine_topk" -> 0.39,
-    "q24_emb_neardup" -> 0.74, "q25_extract_rollup" -> 2.90,
+    "q24_emb_neardup" -> 0.74, "q25_extract_rollup" -> 0.90,
     "q31_asof_join" -> 0.31, "q35_moments" -> 0.23, "q36_term_freq" -> 0.25,
-    "q38_extract_pages" -> 0.90)
+    "q38_extract_pages" -> 0.80)
   /** Floors apply only to the corpus generation they were measured on. */
   def active: Boolean = graft.kernel.Corpus.GeneratorVersion == refCorpusVersion
   /** A query best needs a time-shifted retry when it exceeds this bound —
@@ -511,7 +515,7 @@ object Bench {
         f""""floor_t4N":${BenchRef.t4NDocsPerSec}%.0f,""" +
         f""""floor_corpus_v":${BenchRef.refCorpusVersion},""" +
         f""""attempts":$attempt,"all_attempts_degraded":$degraded,"gate_retries":$gateRetries,""" +
-        f""""levels_pinned":${pinEnabled && !useCluster && !pinFailed}}}"""
+        f""""levels_pinned":${pinEnabled && !useCluster && !pinFailed}}"""
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     } catch {
       case e: Throwable =>

@@ -22,7 +22,7 @@ object Corpus {
     * the constant is folded into [[graft.operators.ExtractOps]]'s corpus-cache
     * fingerprint, so bumping it invalidates every materialized corpus cache
     * even if the hashed sample pages happen to be byte-identical. */
-  val GeneratorVersion = 14
+  val GeneratorVersion = 15
 
   /** Outlink + provenance pools (deterministic per-doc draws). */
   private val LinkDomains = Vector("parts.example.com", "supplier-hub.test",
@@ -214,7 +214,9 @@ object Corpus {
       // arrays over a WinAnsi base (the subset-font encoding override
       // mechanism), ~8% embedded symbolic TrueType programs (/FontFile2 —
       // byte semantics live in the font's cmap/post tables only, the
-      // subset-font shape), ~60% of scanned docs carry a REAL JPEG image
+      // subset-font shape), ~8% embedded CFF/Type1C programs (/FontFile3 —
+      // byte semantics live in the CFF Encoding/charset/strings, corpus
+      // v15), ~60% of scanned docs carry a REAL JPEG image
       // XObject behind /DCTDecode, ~20% a G4 fax payload behind
       // /CCITTFaxDecode and ~10% an MQ-coded generic region behind
       // /JBIG2Decode (the remaining ~10% keep the bare /Subtype /Image
@@ -237,7 +239,8 @@ object Corpus {
       val xrefDraw = rng.nextInt(10) // 0-1 classic table, 2-3 xref stream
       val objStm = rng.nextInt(6) == 0
       // 0-1 WinAnsi, 2 ToUnicode, 3 Identity-H CID, 4 Differences-over-
-      // WinAnsi, 5 embedded symbolic TrueType (/FontFile2)
+      // WinAnsi, 5 embedded symbolic TrueType (/FontFile2), 6 embedded
+      // CFF/Type1C (/FontFile3 — tier 10, corpus v15)
       val encDraw = rng.nextInt(12)
       val hexArmor = rng.nextInt(12) == 0
       // base-85 armor: 1/16 of non-hex-armored docs ≈ 6% of all docs;
@@ -249,6 +252,7 @@ object Corpus {
       val cid = encDraw == 3
       val differences = encDraw == 4
       val fontFile2 = encDraw == 5
+      val fontFile3 = encDraw == 6
       val lzw = !compress && rng.nextInt(10) == 0
       val rle = !compress && !lzw && rng.nextInt(14) == 0
       val predictor = rng.nextInt(2) == 0 // applies only with an xref STREAM
@@ -315,6 +319,7 @@ object Corpus {
         differences = differences, dctImage = dctImage,
         encrypt = encrypted, aes = encFlavor == 1, aes256 = encFlavor == 2,
         ccittImage = ccittImage, fontFile2 = fontFile2,
+        fontFile3 = fontFile3,
         jbig2Image = jbig2Image, links = links, info = info)
       val text =
         if (scanned) "" // forces the scanned route (detect: no meaningful text)

@@ -354,6 +354,7 @@ object PdfLite {
                ccittImage: Option[CcittG4.Image] = None,
                fontFile2: Boolean = false,
                jbig2Image: Option[Jbig2.Image] = None,
+               fontFile3: Boolean = false,
                links: Seq[String] = Nil,
                info: Option[DocInfo] = None): Array[Byte] = {
     // all encryption flavors share the handler plumbing; `aes`/`aes256`
@@ -374,7 +375,7 @@ object PdfLite {
     // formBase+i) that the tiny /Contents stream invokes via `Do`
     val formBase = 3 + 2 * pages.length
     val imageObjNum = formBase + (if (form) pages.length else 0)
-    val useFont = winAnsi || toUnicode || cid || differences || fontFile2
+    val useFont = winAnsi || toUnicode || cid || differences || fontFile2 || fontFile3
     val fontObjNum = imageObjNum + (if (scanned) 1 else 0)
     // fontFile2 mode (exclusive of toUnicode/cid/differences/winAnsi in this
     // writer) claims the two slots after the font object for the
@@ -387,7 +388,7 @@ object PdfLite {
     // `links`/`info` with encryption would produce a spec-invalid hybrid,
     // so the corpus draws them only for unencrypted documents.
     val annotBase = fontObjNum + (if (useFont) 1 else 0) +
-      (if (toUnicode || cid) 1 else 0) + (if (fontFile2) 2 else 0)
+      (if (toUnicode || cid) 1 else 0) + (if (fontFile2 || fontFile3) 2 else 0)
     val indirectLinkNums: Map[Int, Int] = // global link idx → object number
       links.indices.filter(_ % 2 == 0).zipWithIndex
         .map { case (gi, slot) => gi -> (annotBase + slot) }.toMap
@@ -461,11 +462,14 @@ object PdfLite {
     // cmap+post tables — no /Encoding, no /ToUnicode, no identity escape
     // hatch; Tj bytes are meaningless without reading the sfnt
     val ttfCode: Map[Char, Char] =
-      if (!fontFile2) Map.empty
+      if (!fontFile2 && !fontFile3) Map.empty
       else {
         val chars = (pages.flatMap(_.runs).flatMap(_.text) :+ '?')
           .distinct.sorted.take(0xde)
-        val pool = new scala.util.Random(987654321L)
+        // distinct scrambles per program format so a CFF doc can never be
+        // decoded by accident through TrueType assumptions (or vice versa)
+        val seed = if (fontFile3) 123456789L else 987654321L
+        val pool = new scala.util.Random(seed)
           .shuffle((0x21 to 0xfe).toList)
         chars.zip(pool.map(_.toChar)).toMap
       }
@@ -475,7 +479,7 @@ object PdfLite {
         t.foreach(c => sb.append(((c >> 8) & 0xff).toChar).append((c & 0xff).toChar))
         sb.toString
       }
-      else if (fontFile2) t => t.map(c => ttfCode.getOrElse(c, ttfCode('?')))
+      else if (fontFile2 || fontFile3) t => t.map(c => ttfCode.getOrElse(c, ttfCode('?')))
       else if (toUnicode) t => t.map(c => if (c <= 0x7e) c else codeMap.getOrElse(c, '?'))
       else if (differences) t => t.map(c =>
         if (c <= 0x7e) c
@@ -676,6 +680,12 @@ object PdfLite {
           put(s"$fontObjNum 0 obj << /Type /Font /Subtype /TrueType " +
             s"/BaseFont /GRAFT+Synth /FirstChar 33 /LastChar 254 " +
             s"/FontDescriptor ${fontObjNum + 1} 0 R >> endobj\n")
+        else if (fontFile3)
+          // Type1 face whose program ships as CFF/Type1C — byte semantics
+          // live in the CFF Encoding/charset/strings only
+          put(s"$fontObjNum 0 obj << /Type /Font /Subtype /Type1 " +
+            s"/BaseFont /GRAFT+SynthCff /FirstChar 33 /LastChar 254 " +
+            s"/FontDescriptor ${fontObjNum + 1} 0 R >> endobj\n")
         else
           put(s"$fontObjNum 0 obj << /Type /Font /Subtype /Type1 " +
             s"/BaseFont /Helvetica$encPart$cmapPart >> endobj\n")
@@ -694,6 +704,21 @@ object PdfLite {
       put(s"${fontObjNum + 2} 0 obj << /Length ${tb.length} " +
         s"/Length1 ${ttf.length} >> stream\n")
       out.write(tb)
+      put("\nendstream endobj\n")
+    }
+    if (fontFile3) {
+      beginObj(fontObjNum + 1)
+      put(s"${fontObjNum + 1} 0 obj << /Type /FontDescriptor " +
+        "/FontName /GRAFT+SynthCff /Flags 4 /ItalicAngle 0 /Ascent 800 " +
+        "/Descent -200 /CapHeight 700 /StemV 80 /FontBBox [0 -200 1000 800] " +
+        s"/FontFile3 ${fontObjNum + 2} 0 R >> endobj\n")
+      beginObj(fontObjNum + 2)
+      val cff = CffFont.build(
+        ttfCode.toSeq.map { case (ch, code) => (code.toInt, ch) })
+      val cb = encStream(fontObjNum + 2, cff)
+      put(s"${fontObjNum + 2} 0 obj << /Length ${cb.length} " +
+        s"/Subtype /Type1C >> stream\n")
+      out.write(cb)
       put("\nendstream endobj\n")
     }
     if (toUnicode || cid) {
@@ -1756,11 +1781,15 @@ object PdfLite {
           // the same slot as /Differences, both are code → char)
           val ttfDiffs: Map[Int, Char] =
             if (winAnsi || cmap.nonEmpty || diffs.nonEmpty) Map.empty
-            else refOf(fontDict, "/FontDescriptor").flatMap(byNum.get)
-              .flatMap(d => refOf(d.dict, "/FontFile2").flatMap(byNum.get))
-              .filter(_.hasStream)
-              .map(o => TrueTypeFont.codeMap(streamText(s, o).getBytes(Latin1)))
-              .getOrElse(Map.empty)
+            else refOf(fontDict, "/FontDescriptor").flatMap(byNum.get).flatMap { d =>
+              // /FontFile2 → sfnt cmap(3,0)+post; /FontFile3 (/Type1C) →
+              // CFF Encoding→charset→strings — both end in Glyphs
+              refOf(d.dict, "/FontFile2").flatMap(byNum.get).filter(_.hasStream)
+                .map(o => TrueTypeFont.codeMap(streamText(s, o).getBytes(Latin1)))
+                .orElse(refOf(d.dict, "/FontFile3").flatMap(byNum.get)
+                  .filter(_.hasStream)
+                  .map(o => CffFont.codeMap(streamText(s, o).getBytes(Latin1))))
+            }.getOrElse(Map.empty)
           val allDiffs = if (diffs.nonEmpty) diffs else ttfDiffs
           val (widths, dw, asc, desc) = fontMetrics(fontDict, byNum)
           // a CID font with /W but no ToUnicode still matters to the native
@@ -1946,6 +1975,7 @@ object PdfLite {
       any("/Identity-H", "font:cid")
       any("/Differences", "font:diffs")
       any("/FontFile2", "font:ttf")
+      any("/FontFile3", "font:cff")
       any("/Rotate", "rotate")
       any("/Subtype /Form", "formxobj")
       any("/Subtype /Link", "links")

@@ -70,6 +70,18 @@ object Py {
     * double with ROUND_HALF_EVEN (Java's `%.1f` rounds HALF_UP and diverges,
     * e.g. 81.25 → "81.3" vs Python "81.2"). Used for the reference's quality
     * warning strings (`quality.py:111,115,127`). */
+  /** CPython `round(x, ndigits)` — correctly-rounded half-to-EVEN on the
+    * EXACT binary value (not the half-up of `"%.1f"`): round(0.25, 1) ==
+    * 0.2 (true tie, even), round(0.35, 1) == 0.3 (0.35 stores just BELOW
+    * the midpoint). BigDecimal-of-double is that exact value, so HALF_EVEN
+    * reproduces both. */
+  def round2(x: Double, ndigits: Int): Double =
+    // new java.math.BigDecimal(double) is the EXACT binary value;
+    // scala.BigDecimal(double) would go through valueOf (the shortest
+    // string), which turns 0.35 into a true .5 tie and rounds the wrong way
+    new java.math.BigDecimal(x)
+      .setScale(ndigits, java.math.RoundingMode.HALF_EVEN).doubleValue()
+
   def format1f(x: Double): String =
     new java.math.BigDecimal(x)
       .setScale(1, java.math.RoundingMode.HALF_EVEN)

@@ -78,6 +78,21 @@ final class QualityChecker(
     if (extracted.isEmpty) 0.0
     else extracted.iterator.map(_.confidence).sum.toDouble / extracted.length
 
+  /** The serving layer's SIMPLIFIED quality score (`app.py:184-196` — the
+    * only quality variant the HTTP path actually computes): score =
+    * `round((1 − empty_ratio) × 100, 1)`, empty counting nulls AND empty
+    * strings over ALL cells, ratio 1.0 for an empty frame (→ score 0.0).
+    * Distinct from [[checkEmptyCells]] ONLY in the final rounding/scaling —
+    * kept as its own function because the reference exposes this number,
+    * not the 5-metric report, to API clients. */
+  def simplifiedScore(cells: Vector[Vector[String]]): Double = {
+    val total = cells.iterator.map(_.length).sum
+    val emptyRatio =
+      if (total == 0) 1.0
+      else cells.iterator.map(_.count(c => c == null || c == "")).sum.toDouble / total
+    Py.round2((1.0 - emptyRatio) * 100.0, 1)
+  }
+
   /** A4 — row-pattern consistency: ≤2 distinct non-empty counts,
     * quality.py:171-177. */
   def checkRowPatterns(cells: Vector[Vector[String]]): Boolean =
