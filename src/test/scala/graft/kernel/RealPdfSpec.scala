@@ -98,4 +98,26 @@ class RealPdfSpec extends AnyFunSuite {
     val b = PdfLite.parseNative(bytes).items
     assert(a == b)
   }
+
+  test("the FULL 241-page DRISCOLL pdf agrees page-by-page with the split files") {
+    // the reference batch ran on pre-split page files (split_pdf.py); the
+    // engine must get the SAME spans from the original multi-page document
+    // (real /Kids tree, per-page resources) — S12 splitter semantics on
+    // real bytes
+    val full = PdfLite.parseNative(Files.readAllBytes(
+      refDir.resolve("DRISCOLL CF ORDERS FOR THE WEEK OF SEPTEMBER 8, 2025.pdf")))
+    assert(full.nPages == 241, s"expected 241 pages, got ${full.nPages}")
+    val byPage = full.items.groupBy(_.page)
+    // spot-check a spread of pages (full-corpus equality is the q51/batch
+    // gate on split files; this pins the multi-page walk to the same spans)
+    for (p <- Seq(1, 2, 57, 120, 241)) {
+      val single = PdfLite.parseNative(Files.readAllBytes(refDir.resolve(
+        s"DRISCOLL CF ORDERS FOR THE WEEK OF SEPTEMBER 8, 2025_page$p.pdf"))).items
+      val fromFull = byPage.getOrElse(p, Vector.empty)
+        .map(it => it.copy(page = 1))
+      assert(fromFull == single,
+        s"page $p: full-doc spans diverge from the split file " +
+          s"(${fromFull.size} vs ${single.size} items)")
+    }
+  }
 }
