@@ -456,32 +456,38 @@ object Bench {
           attempt += 1
         }
       }
-      // Hi-only top-up (round 5): the 4N level's ~42 s reps fit INSIDE this
-      // VM's multi-minute noise windows while the ~130 s 1-core reps average
-      // ACROSS them — with equal rep counts the 4-core minimum is
-      // systematically less likely to catch a clean window (observed
-      // 2026-08-19: window-immune pairs at 0.91/0.97 while best-of read
-      // 0.768 with t4N 3 % short of its committed floor). When the 1-core
-      // level has already reached its clean floor but the 4N level hasn't,
-      // extra 4N-ONLY reps are the honest cheap lever: a min over more
-      // samples approaches the true time from ABOVE, so it can only move
-      // the ratio toward the clean-window value — and the tN floor prevents
-      // the numerator inflation that makes best-of overestimate. All reps
-      // land in the artifact's t4N array like any other.
+      // Floor chase (round 5): with floors armed, any level whose best rate
+      // still sits under its committed clean-window floor gets extra
+      // time-shifted reps. A min over more samples approaches the true time
+      // from ABOVE, and the chase is DIRECTION-NEUTRAL — it raises a
+      // degraded 1-core denominator (which would INFLATE best-of into a
+      // false pass) exactly as readily as a degraded 4-core numerator
+      // (which deflated the 2026-08-19 run to 0.768 while window-immune
+      // pairs read 0.91-0.97) — so extra reps can only move the ratio
+      // toward the clean-window value, never game the gate in either
+      // direction. The 4N level needs this more often (its ~42 s reps fit
+      // INSIDE this VM's multi-minute noise windows; ~140 s 1-core reps
+      // average across them), but both are chased. All reps land in the
+      // artifact's per-level arrays like any other; `!degraded` leaves
+      // hopeless windows to the attempt-level retry above.
       if (floorsArmed && !degraded) {
         var topUps = 0
-        val maxTopUps = sys.env.getOrElse("GRAFT_BENCH_HI_TOPUPS", "6").toInt
-        while (topUps < maxTopUps &&
-               bufLo.map(_.docsPerSec).max >= BenchRef.tNDocsPerSec &&
-               bufHi.map(_.docsPerSec).max < BenchRef.t4NDocsPerSec &&
+        val maxTopUps = sys.env.getOrElse("GRAFT_BENCH_FLOOR_TOPUPS", "6").toInt
+        def loBelow = bufLo.map(_.docsPerSec).max < BenchRef.tNDocsPerSec
+        def hiBelow = bufHi.map(_.docsPerSec).max < BenchRef.t4NDocsPerSec
+        while (topUps < maxTopUps && (loBelow || hiBelow) &&
                (System.nanoTime() - tScaling0) / 1e9 < 2.0 * budgetSec) {
           Thread.sleep(45000L) // time-shift: windows last minutes
-          bufHi += extractOnce(levelHi, corpusPath, s"$tmp/outHiTop", 100 + topUps)
+          if (hiBelow)
+            bufHi += extractOnce(levelHi, corpusPath, s"$tmp/outHiTop", 100 + topUps)
+          if (loBelow)
+            bufLo += extractOnce(levelLo, corpusPath, s"$tmp/outLoTop", 200 + topUps)
           topUps += 1
         }
         if (topUps > 0)
-          System.err.println(s"[bench] hi-only top-up reps: $topUps " +
-            f"(t4N best now ${bufHi.map(_.docsPerSec).max}%.0f docs/s)")
+          System.err.println(s"[bench] floor-chase top-up rounds: $topUps " +
+            f"(tN best ${bufLo.map(_.docsPerSec).max}%.0f, " +
+            f"t4N best ${bufHi.map(_.docsPerSec).max}%.0f docs/s)")
       }
       val allLo = bufLo.toSeq
       val allHi = bufHi.toSeq

@@ -21,7 +21,8 @@ import graft.kernel.{Extractor, Template, Vendor}
   * a failure-taxonomy struct rather than throwing (per-row failure isolation).
   */
 case class ExtractDocExpr(children: Seq[Expression],
-                          templates: Map[String, Template] = Vendor.builtinTemplates)
+                          templates: Map[String, Template] = Vendor.builtinTemplates,
+                          passwords: Seq[String] = Nil)
     extends Expression with CodegenFallback {
 
   require(children.length == 4, "extract_doc(url, html, text, lang)")
@@ -45,7 +46,8 @@ case class ExtractDocExpr(children: Seq[Expression],
       html,
       ExtractArgs.str(children(2).eval(input)),
       ExtractArgs.str(children(3).eval(input)),
-      templates)
+      templates,
+      passwords)
     // hand-rolled conversion — the generic encoder serializer is ~10× the
     // kernel cost (see DocRow scaladoc)
     DocRow.toRow(doc)
@@ -64,10 +66,20 @@ object ExtractDocExpr {
     * expression — registries are KBs; for a huge registry broadcast it and
     * use the mapPartitions path instead). */
   def extractDoc(url: Column, html: Column, text: Column, lang: Column,
-                 templates: Map[String, Template]): Column = {
+                 templates: Map[String, Template]): Column =
+    extractDoc(url, html, text, lang, templates, Nil)
+
+  /** As above with a crawl-wide password try-list for REAL-password
+    * documents (serialized into the expression like the registry; tried
+    * user-then-owner per candidate, empty password always first — see
+    * [[graft.kernel.PdfLite.parse]]). */
+  def extractDoc(url: Column, html: Column, text: Column, lang: Column,
+                 templates: Map[String, Template],
+                 passwords: Seq[String]): Column = {
     import org.apache.spark.sql.GraftColumnBridge
     GraftColumnBridge.column(ExtractDocExpr(
-      Seq(url, html, text, lang).map(GraftColumnBridge.expression), templates))
+      Seq(url, html, text, lang).map(GraftColumnBridge.expression), templates,
+      passwords))
   }
 }
 

@@ -69,7 +69,8 @@ object Extractor {
   }
 
   def extract(url: String, payload: Array[Byte], text: String, lang: String,
-              templates: Map[String, Template] = Vendor.builtinTemplates): ExtractedDoc = {
+              templates: Map[String, Template] = Vendor.builtinTemplates,
+              passwords: Seq[String] = Nil): ExtractedDoc = {
     val nBytes = if (payload == null) 0L else payload.length.toLong
     if (payload == null || payload.isEmpty)
       return ExtractedDoc.failed(url, nBytes, "empty_payload")
@@ -77,7 +78,7 @@ object Extractor {
       return ExtractedDoc.failed(url, nBytes, "oversize") // app.py:121-130 analog
     try {
       val pdf = PdfLite.isPdf(payload)
-      if (pdf) extractPdf(url, payload, text, nBytes, templates)
+      if (pdf) extractPdf(url, payload, text, nBytes, templates, passwords)
       else extractHtml(url, payload, nBytes, templates)
     } catch {
       case e: Exception =>
@@ -132,8 +133,13 @@ object Extractor {
   }
 
   private def extractPdf(url: String, payload: Array[Byte], text: String,
-                         nBytes: Long, templates: Map[String, Template]): ExtractedDoc = {
-    val parsed = PdfLite.parse(payload)
+                         nBytes: Long, templates: Map[String, Template],
+                         passwords: Seq[String] = Nil): ExtractedDoc = {
+    // password try-list: crawl-wide credentials for real-password documents
+    // (PyMuPDF `authenticate` analog); empty-password docs cost nothing extra
+    val parsed =
+      if (passwords.isEmpty) PdfLite.parse(payload)
+      else PdfLite.parse(payload, passwords)
     val (route, routeConf) = detectRoute(isPdf = true, text, parsed.hasImage)
     // page-1 truncation parity (extract.py:102-104, smart_extract.py:70):
     // the per-document result covers page 1; multi-page processing is the

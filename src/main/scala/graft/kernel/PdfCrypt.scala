@@ -11,13 +11,18 @@ package graft.kernel
   *
   * Covers the empty-user-password case (the overwhelmingly common one for
   * "encrypted" files on the open web: viewable by anyone, the encryption
-  * only gates editing). Algorithms by spec number:
+  * only gates editing) AND real user/owner passwords supplied through the
+  * caller's try-list (round 5 — the PyMuPDF `authenticate` contract).
+  * Algorithms by spec number:
   *  - Alg 2  — file encryption key from (padded password, /O, /P, /ID).
   *    R=4 with encrypted metadata uses the identical derivation.
-  *  - Alg 3  — /O (owner password hash).
+  *  - Alg 3  — /O (owner password hash); Alg 7 REVERSE recovers the padded
+  *    user password from /O given the owner password.
   *  - Alg 4/5 — /U (user password check value; R=3/4 form).
   *  - Alg 1  — per-object key: MD5(fileKey ‖ objNum LE3 ‖ gen LE2), with
   *    the extra 4-byte "sAlT" suffix in the AESV2 variant.
+  *  - Alg 8-12 — the V=5 /U//UE//O//OE wrap vectors and their user/owner
+  *    validation + file-key unwrap.
   */
 private[kernel] object PdfCrypt {
 
@@ -94,6 +99,26 @@ private[kernel] object PdfCrypt {
     var i = 0
     while (i < 50) { digest = md5(digest.take(16)); i += 1 }
     digest.take(16)
+  }
+
+  /** Algorithm 7 (read side, R=3): recover the PADDED user password from
+    * /O given a candidate OWNER password — the reverse of [[oValue]]'s
+    * 20-pass RC4 chain. The result feeds [[fileKey]] directly ([[padded]]
+    * is the identity on a 32-byte input); whether the candidate was RIGHT
+    * is decided downstream by the /U check, exactly as for a direct user
+    * password. */
+  def userPwFromOwner(ownerPw: Array[Byte], o: Array[Byte]): Array[Byte] = {
+    var digest = md5(padded(ownerPw))
+    var i = 0
+    while (i < 50) { digest = md5(digest); i += 1 }
+    val rc4Key = digest.take(16)
+    var u = o
+    var pass = 19
+    while (pass >= 0) {
+      u = rc4(rc4Key.map(b => (b ^ pass).toByte), u)
+      pass -= 1
+    }
+    u
   }
 
   /** Algorithm 5: the /U check value (R=3) — 16 significant bytes; the spec
@@ -232,24 +257,25 @@ private[kernel] object PdfCrypt {
     * password. Salts are derived deterministically from the doc `/ID` —
     * the corpus must be byte-stable, and the spec only requires salts be
     * present (their randomness guards password cracking, not format). */
-  def u6Values(fileKey: Array[Byte], id0: Array[Byte]): (Array[Byte], Array[Byte]) = {
+  def u6Values(fileKey: Array[Byte], id0: Array[Byte],
+               userPw: Array[Byte] = Array.empty): (Array[Byte], Array[Byte]) = {
     val vs = md5(id0, Array(1.toByte)).take(8)
     val ks = md5(id0, Array(2.toByte)).take(8)
-    val u = hash2B(Array.empty, vs, Array.empty) ++ vs ++ ks
+    val u = hash2B(userPw, vs, Array.empty) ++ vs ++ ks
     val ue = aesNoIv(javax.crypto.Cipher.ENCRYPT_MODE,
-      hash2B(Array.empty, ks, Array.empty), fileKey)
+      hash2B(userPw, ks, Array.empty), fileKey)
     (u, ue)
   }
 
   /** Algorithm 9: /O and /OE — as [[u6Values]] but the hashes fold in the
     * full 48-byte /U (owner validation binds to the user record). */
-  def o6Values(fileKey: Array[Byte], u48: Array[Byte],
-               id0: Array[Byte]): (Array[Byte], Array[Byte]) = {
+  def o6Values(fileKey: Array[Byte], u48: Array[Byte], id0: Array[Byte],
+               ownerPw: Array[Byte] = Array.empty): (Array[Byte], Array[Byte]) = {
     val vs = md5(id0, Array(3.toByte)).take(8)
     val ks = md5(id0, Array(4.toByte)).take(8)
-    val o = hash2B(Array.empty, vs, u48) ++ vs ++ ks
+    val o = hash2B(ownerPw, vs, u48) ++ vs ++ ks
     val oe = aesNoIv(javax.crypto.Cipher.ENCRYPT_MODE,
-      hash2B(Array.empty, ks, u48), fileKey)
+      hash2B(ownerPw, ks, u48), fileKey)
     (o, oe)
   }
 
@@ -267,18 +293,37 @@ private[kernel] object PdfCrypt {
     c.doFinal(b)
   }
 
-  /** Algorithm 11 + the /UE unwrap: validate the EMPTY user password
-    * against /U and recover the 32-byte file key. None on mismatch (a real
-    * password we don't have) or malformed vectors. */
-  def fileKey6(u48: Array[Byte], ue32: Array[Byte],
-               r5: Boolean): Option[Array[Byte]] = {
+  /** Algorithm 11 + the /UE unwrap: validate a USER password (empty by
+    * default — the common open-web case) against /U and recover the
+    * 32-byte file key. None on mismatch or malformed vectors. R=6
+    * passwords are UTF-8 bytes (callers should pass ≤127 bytes; full
+    * SASLprep normalization is out of scope — ASCII passwords, the
+    * overwhelming real-world case, are unaffected). */
+  def fileKey6(u48: Array[Byte], ue32: Array[Byte], r5: Boolean,
+               userPw: Array[Byte] = Array.empty): Option[Array[Byte]] = {
     if (u48.length < 48 || ue32.length != 32) return None
     val hash = java.util.Arrays.copyOfRange(u48, 0, 32)
     val vs = java.util.Arrays.copyOfRange(u48, 32, 40)
     val ks = java.util.Arrays.copyOfRange(u48, 40, 48)
     if (!java.security.MessageDigest.isEqual(
-          hash2B(Array.empty, vs, Array.empty, r5), hash)) None
+          hash2B(userPw, vs, Array.empty, r5), hash)) None
     else Some(aesNoIv(javax.crypto.Cipher.DECRYPT_MODE,
-      hash2B(Array.empty, ks, Array.empty, r5), ue32))
+      hash2B(userPw, ks, Array.empty, r5), ue32))
+  }
+
+  /** Algorithm 12 + the /OE unwrap: validate an OWNER password against /O
+    * (whose hashes fold in the full 48-byte /U — see [[o6Values]]) and
+    * recover the 32-byte file key from /OE. */
+  def fileKey6Owner(o48: Array[Byte], oe32: Array[Byte], u48: Array[Byte],
+                    r5: Boolean, ownerPw: Array[Byte]): Option[Array[Byte]] = {
+    if (o48.length < 48 || oe32.length != 32 || u48.length < 48) return None
+    val u = java.util.Arrays.copyOfRange(u48, 0, 48)
+    val hash = java.util.Arrays.copyOfRange(o48, 0, 32)
+    val vs = java.util.Arrays.copyOfRange(o48, 32, 40)
+    val ks = java.util.Arrays.copyOfRange(o48, 40, 48)
+    if (!java.security.MessageDigest.isEqual(
+          hash2B(ownerPw, vs, u, r5), hash)) None
+    else Some(aesNoIv(javax.crypto.Cipher.DECRYPT_MODE,
+      hash2B(ownerPw, ks, u, r5), oe32))
   }
 }

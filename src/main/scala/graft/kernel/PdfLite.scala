@@ -356,7 +356,8 @@ object PdfLite {
                jbig2Image: Option[Jbig2.Image] = None,
                fontFile3: Boolean = false,
                links: Seq[String] = Nil,
-               info: Option[DocInfo] = None): Array[Byte] = {
+               info: Option[DocInfo] = None,
+               userPw: String = "", ownerPw: String = ""): Array[Byte] = {
     // all encryption flavors share the handler plumbing; `aes`/`aes256`
     // alone imply an encrypted document
     val doEnc = encrypt || aes || aes256
@@ -400,12 +401,17 @@ object PdfLite {
     // caller picked neither xref form
     val useXrefTable = xref || (doEnc && !xrefStream)
 
-    // Standard Security Handler material (empty user/owner password):
-    // deterministic /ID from the doc's own text. V≤4: the file key DERIVES
-    // from (/O, P, /ID) per Algorithm 2; V=5: the key is freestanding and
-    // /U//UE//O//OE wrap it (Algorithms 8/9).
+    // Standard Security Handler material (user/owner passwords default
+    // empty — the common open-web shape; `userPw`/`ownerPw` produce REAL
+    // password-protected fixtures for the authenticate path): deterministic
+    // /ID from the doc's own text. V≤4: the file key DERIVES from
+    // (password, /O, P, /ID) per Algorithm 2; V=5: the key is freestanding
+    // and /U//UE//O//OE wrap it (Algorithms 8/9). Password bytes: Latin-1
+    // for R≤4, UTF-8 for R=6 — matching the reader.
+    val encUserPwL1 = userPw.getBytes(Latin1)
+    val encOwnerPwL1 = ownerPw.getBytes(Latin1)
     val encO: Array[Byte] =
-      if (doEnc && !aes256) PdfCrypt.oValue(Array.empty, Array.empty) else null
+      if (doEnc && !aes256) PdfCrypt.oValue(encOwnerPwL1, encUserPwL1) else null
     val encP = -44 // typical permission mask (print allowed); part of the key
     val encId0: Array[Byte] =
       if (doEnc)
@@ -414,12 +420,14 @@ object PdfLite {
     val encKey: Array[Byte] =
       if (!doEnc) null
       else if (aes256) PdfCrypt.fileKey32(encId0)
-      else PdfCrypt.fileKey(Array.empty, encO, encP, encId0)
+      else PdfCrypt.fileKey(encUserPwL1, encO, encP, encId0)
     // V5 wrap vectors (computed once; /O binds to the full 48-byte /U)
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
     val encU6: (Array[Byte], Array[Byte]) =
-      if (aes256) PdfCrypt.u6Values(encKey, encId0) else null
+      if (aes256) PdfCrypt.u6Values(encKey, encId0, userPw.getBytes(utf8)) else null
     val encO6: (Array[Byte], Array[Byte]) =
-      if (aes256) PdfCrypt.o6Values(encKey, encU6._1, encId0) else null
+      if (aes256) PdfCrypt.o6Values(encKey, encU6._1, encId0, ownerPw.getBytes(utf8))
+      else null
     def encStream(objNum: Int, data: Array[Byte]): Array[Byte] =
       if (encKey == null) data
       else if (aes256) PdfCrypt.aesEncrypt(encKey, data) // V5: file key direct
@@ -1908,6 +1916,14 @@ object PdfLite {
     * both land here). */
   def parse(bytes: Array[Byte]): Parsed = parseImpl(bytes, run = true)
 
+  /** [[parse]] with a password try-list for documents protected by a REAL
+    * (non-empty) password — each candidate is tried as user then owner
+    * password (see [[decryptIfNeeded]]). The empty password is always
+    * tried first, so `parse(bytes, pws)` on an unprotected or
+    * empty-password document equals `parse(bytes)`. */
+  def parse(bytes: Array[Byte], passwords: Seq[String]): Parsed =
+    parseImpl(bytes, run = true, passwords = passwords)
+
   /** Native-route extraction: the PyMuPDF-twin structured-text contract the
     * reference's `smart_extract.extract_native` (smart_extract.py:64-97)
     * consumes — spans with synthesized spaces, int-truncated top-origin
@@ -1918,6 +1934,10 @@ object PdfLite {
     * goldens are pinned to; this is the parser to point at REAL files. */
   def parseNative(bytes: Array[Byte]): Parsed =
     parseImpl(bytes, run = true, native = true)
+
+  /** [[parseNative]] with a password try-list (see [[parse]] overload). */
+  def parseNative(bytes: Array[Byte], passwords: Seq[String]): Parsed =
+    parseImpl(bytes, run = true, native = true, passwords = passwords)
 
   /** Structure resolution only (objects, xref, page tree, stream decode) with
     * content interpretation skipped — a profiling seam, not a public API. */
@@ -2154,8 +2174,20 @@ object PdfLite {
     * the stale dict length is inert. Out-of-scope handlers (non-Standard
     * filters, unknown revisions) and a failed `/U` check (a real user
     * password we don't have) leave the bytes untouched — the parse then
-    * recovers nothing readable, which is the honest result. */
-  private def decryptIfNeeded(s0: String): String = {
+    * recovers nothing readable, which is the honest result.
+    *
+    * `passwords` is a caller-supplied try-list for documents protected by
+    * a REAL (non-empty) password: each candidate is tried first as the
+    * USER password (Algorithm 2 + /U check; R=6 Algorithm 11) and then as
+    * the OWNER password (Algorithm 7 reverse recovers the padded user
+    * password from /O; R=6 Algorithm 12 + /OE unwrap) — PyMuPDF's
+    * `authenticate` contract, which the reference relies on
+    * (`smart_extract.py:64-97`). The empty password is always tried
+    * first, so the common open-web case costs no extra work. Candidates
+    * are encoded Latin-1 for R≤4 (the spec's PDFDocEncoding agrees with
+    * Latin-1 on the printable range) and UTF-8 for R≥5. */
+  private def decryptIfNeeded(s0: String,
+                              passwords: Seq[String] = Nil): String = {
     val ei = s0.lastIndexOf("/Encrypt")
     if (ei < 0) return s0
     try {
@@ -2174,10 +2206,26 @@ object PdfLite {
       if (!aes && !aes3 && (v > 2 || r > 3)) return s0 // unknown handler
       val key: Array[Byte] =
         if (aes3) {
-          // /U carries hash‖salts; /UE wraps the file key (Algorithm 11)
+          // /U carries hash‖salts; /UE wraps the file key (Algorithm 11);
+          // owner route: /O hash folds in /U, /OE wraps the same key
           val u48 = hexBytesAfter(d, "/U").getOrElse(return s0)
           val ue = hexBytesAfter(d, "/UE").getOrElse(return s0)
-          PdfCrypt.fileKey6(u48, ue, r5 = r == 5).getOrElse(return s0)
+          val cands = "" +: passwords
+          cands.iterator
+            .map(pw => PdfCrypt.fileKey6(u48, ue, r5 = r == 5,
+              pw.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+            .collectFirst { case Some(k) => k }
+            .orElse {
+              for {
+                o48 <- hexBytesAfter(d, "/O")
+                oe <- hexBytesAfter(d, "/OE")
+                k <- cands.iterator
+                  .map(pw => PdfCrypt.fileKey6Owner(o48, oe, u48, r5 = r == 5,
+                    pw.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+                  .collectFirst { case Some(k) => k }
+              } yield k
+            }
+            .getOrElse(return s0)
         } else {
           val p = signedIntAfter(d, "/P").getOrElse(-1)
           val o = hexBytesAfter(d, "/O").getOrElse(return s0)
@@ -2186,13 +2234,19 @@ object PdfLite {
           if (idAt < 0) return s0
           val id0 = hexBytesAfter(s0.substring(idAt, math.min(s0.length, idAt + 200)), "/ID")
             .getOrElse(return s0)
-          val k = PdfCrypt.fileKey(Array.empty, o, p, id0)
-          // /U check: 16 significant bytes; mismatch = a real (non-empty)
-          // user password — nothing to decrypt with
-          val uOk = hexBytesAfter(d, "/U").forall(u =>
-            u.take(16).sameElements(PdfCrypt.uValue(k, id0).take(16)))
-          if (!uOk) return s0
-          k
+          // /U check: 16 significant bytes; a key passes when it
+          // regenerates them — the same acceptance rule for every route
+          val u16 = hexBytesAfter(d, "/U").map(_.take(16))
+          def uOk(k: Array[Byte]): Boolean =
+            u16.forall(_.sameElements(PdfCrypt.uValue(k, id0).take(16)))
+          val userRoutes = ("" +: passwords).iterator
+            .map(pw => PdfCrypt.fileKey(pw.getBytes(Latin1), o, p, id0))
+          // owner route: Algorithm 7 reverse gives the padded user
+          // password, which feeds Algorithm 2 unchanged
+          val ownerRoutes = passwords.iterator.map(pw =>
+            PdfCrypt.fileKey(
+              PdfCrypt.userPwFromOwner(pw.getBytes(Latin1), o), o, p, id0))
+          (userRoutes ++ ownerRoutes).find(uOk).getOrElse(return s0)
         }
       val chars = s0.toCharArray
       for (ob <- objs
@@ -2240,8 +2294,9 @@ object PdfLite {
   }
 
   private def parseImpl(bytes: Array[Byte], run: Boolean,
-                        native: Boolean = false): Parsed = {
-    val s = decryptIfNeeded(new String(bytes, Latin1))
+                        native: Boolean = false,
+                        passwords: Seq[String] = Nil): Parsed = {
+    val s = decryptIfNeeded(new String(bytes, Latin1), passwords)
     val objs = scanObjects(s)
     // image sniff (feeds the router's scanned detection): a bare
     // `/Subtype /Image` marker counts, but a `/DCTDecode` image must

@@ -777,6 +777,72 @@ object ExtractOps {
       s"'${field("cells_md5", "missing-fixture")}' AS cells_md5"
   }
 
+  /** q54_password_auth — REAL-password documents opened through the
+    * crawl-wide credential try-list (the PyMuPDF `authenticate` contract,
+    * `smart_extract.py:64-97`): 108 deterministic fixtures spanning the
+    * three Standard-Security-Handler flavors × three credential shapes —
+    * the USER password is in the try-list, only the OWNER password is (the
+    * Algorithm-7/12 owner route must recover the file key), or neither is
+    * (the document must stay opaque, never misparse). "Opened" = extracted
+    * text byte-equal to the unprotected twin's. Fixtures are written
+    * per-partition on executors (same pattern as q46) — nothing is
+    * collected, and at 10^12 docs the same query is one narrow map + a
+    * 9-group aggregate. */
+  def q54PasswordAuth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tplBc = ExtractPipeline.broadcastTemplates(spark)
+    val tryList = Seq("argon-7", "vault#22")
+    spark.range(108).repartition(8)
+      .mapPartitions { it =>
+        val tpl = tplBc.value
+        it.map { i =>
+          val flavor = Seq("rc4_v2r3", "aes128_v4r4", "aes256_v5r6")((i % 3).toInt)
+          val cred = Seq("user_known", "owner_known", "none_known")(((i / 3) % 3).toInt)
+          val inList = tryList((i % 2).toInt)
+          val (userPw, ownerPw) = cred match {
+            case "user_known"  => (inList, s"adm-$i")
+            case "owner_known" => (s"secret-$i", inList)
+            case _             => (s"secret-$i", s"adm-$i")
+          }
+          val pageText = s"Manifest $i: " + ("units cleared for dock 7 " * 6)
+          val spec = Seq(PdfLite.PageSpec(1700, 1200,
+            Seq(PdfLite.Run(100, 100, 12, pageText))))
+          val plain = PdfLite.writeDoc(spec)
+          val locked = PdfLite.writeDoc(spec,
+            encrypt = flavor == "rc4_v2r3", aes = flavor == "aes128_v4r4",
+            aes256 = flavor == "aes256_v5r6",
+            userPw = userPw, ownerPw = ownerPw)
+          val url = s"pdf://locked/$i"
+          // pre-extracted text >100 chars keeps the route native
+          val pristine =
+            Extractor.extract(url, plain, pageText, "en", tpl).extractedText
+          val rec = Extractor.extract(url, locked, pageText, "en", tpl,
+            tryList).extractedText
+          (flavor, cred, 1L,
+            if (pristine.nonEmpty && rec == pristine) 1L else 0L)
+        }
+      }
+      .toDF("flavor", "cred", "one", "ok")
+      .groupBy(col("flavor"), col("cred"))
+      .agg(sum(col("one")).cast("long").as("n_docs"),
+           sum(col("ok")).cast("long").as("n_opened"))
+      .orderBy(col("flavor"), col("cred"))
+  }
+
+  val q54PasswordAuthSql: String =
+    """SELECT * FROM (VALUES
+      |  ('aes128_v4r4', 'none_known',  cast(12 as bigint), cast(0 as bigint)),
+      |  ('aes128_v4r4', 'owner_known', cast(12 as bigint), cast(12 as bigint)),
+      |  ('aes128_v4r4', 'user_known',  cast(12 as bigint), cast(12 as bigint)),
+      |  ('aes256_v5r6', 'none_known',  cast(12 as bigint), cast(0 as bigint)),
+      |  ('aes256_v5r6', 'owner_known', cast(12 as bigint), cast(12 as bigint)),
+      |  ('aes256_v5r6', 'user_known',  cast(12 as bigint), cast(12 as bigint)),
+      |  ('rc4_v2r3',    'none_known',  cast(12 as bigint), cast(0 as bigint)),
+      |  ('rc4_v2r3',    'owner_known', cast(12 as bigint), cast(12 as bigint)),
+      |  ('rc4_v2r3',    'user_known',  cast(12 as bigint), cast(12 as bigint)))
+      |  AS t(flavor, cred, n_docs, n_opened)
+      |ORDER BY flavor, cred""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_extract_rollup" -> (q25ExtractRollup _),
     "q26_extract_text_hash" -> (q26ExtractTextHash _),
@@ -796,7 +862,8 @@ object ExtractOps {
     "q48_dialect_census" -> (q48DialectCensus _),
     "q49_outlinks" -> (q49Outlinks _),
     "q50_doc_meta" -> (q50DocMeta _),
-    "q51_real_pdf_batch" -> (q51RealPdfBatch _))
+    "q51_real_pdf_batch" -> (q51RealPdfBatch _),
+    "q54_password_auth" -> (q54PasswordAuth _))
 
   def oracles: Map[String, String] = Map(
     "q25_extract_rollup" -> q25ExtractRollupSql,
@@ -817,5 +884,6 @@ object ExtractOps {
     "q48_dialect_census" -> q48DialectCensusSql,
     "q49_outlinks" -> q49OutlinksSql,
     "q50_doc_meta" -> q50DocMetaSql,
-    "q51_real_pdf_batch" -> q51RealPdfBatchSql)
+    "q51_real_pdf_batch" -> q51RealPdfBatchSql,
+    "q54_password_auth" -> q54PasswordAuthSql)
 }

@@ -144,4 +144,26 @@ class ExtractE2ESpec extends SparkTestBase {
     val r = spark.sql("SELECT sim_ratio('newark', 'newrak')").head().getDouble(0)
     assert(math.abs(r - 0.8333333333333334) < 1e-12, r.toString)
   }
+
+  test("extract_doc with a password try-list opens real-password documents") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val msg = "Dock 7 manifest: 1482 units cleared for Tuesday"
+    val pdf = PdfLite.writeDoc(
+      Seq(PdfLite.PageSpec(1700, 1200, Seq(PdfLite.Run(100, 100, 12, msg)))),
+      aes = true, userPw = "s3cret")
+    // pre-extracted text >100 chars routes the doc native (detectRoute)
+    val df = Seq(("pdf://locked", pdf, (msg + " ") * 3, "en"))
+      .toDF("url", "html", "text", "lang")
+    def run(pws: Seq[String]): (String, String) = {
+      val d = df.select(graft.functions.ExtractDocExpr.extractDoc(
+        col("url"), col("html"), col("text"), col("lang"),
+        Vendor.builtinTemplates, pws).as("doc"))
+        .select("doc.extractedText", "doc.route").head()
+      (d.getString(0), d.getString(1))
+    }
+    assert(!run(Nil)._1.contains("manifest"), "opened without a password")
+    val (txt, route) = run(Seq("wrong", "s3cret"))
+    assert(route == "native" && txt.contains("Dock 7 manifest"), s"$route/$txt")
+  }
 }
