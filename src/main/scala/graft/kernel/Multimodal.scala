@@ -39,8 +39,8 @@ object Multimodal {
     * extraction failure-taxonomy convention (never throw in the data plane). */
   final case class MediaMeta(
       mediaId: Long,
-      format: String,   // "png" | "jpeg" | "bmp" | "wav" | "avi" | "mp3" | "h264"
-                        // | "image" | "audio" | "video" | "unknown"
+      format: String,   // "png" | "jpeg" | "bmp" | "jp2" | "wav" | "avi" | "mp3"
+                        // | "h264" | "image" | "audio" | "video" | "unknown"
                         // ("audio"/"video" only from legacy GMB containers,
                         // which survive solely as the unknown-container fixture)
       width: Int,
@@ -390,6 +390,12 @@ object Multimodal {
         ((bytes(2) == 0 && bytes(3) == 1) || bytes(2) == 1)) "h264"
     else if (bytes.length >= 3 && bytes(0) == Magic(0) && bytes(1) == Magic(1) &&
         bytes(2) == Magic(2)) "gmb"
+    else if (bytes.length >= 12 && bytes(0) == 0 && bytes(1) == 0 &&
+        bytes(2) == 0 && bytes(3) == 12 && bytes(4) == 'j' && bytes(5) == 'P' &&
+        bytes(6) == ' ' && bytes(7) == ' ') "jp2"
+    else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0xff &&
+        (bytes(1) & 0xff) == 0x4f && (bytes(2) & 0xff) == 0xff &&
+        (bytes(3) & 0xff) == 0x51) "jp2"
     else "unknown"
 
   /** REAL RIFF/WAVE parse: chunk walk to `fmt ` and `data`, then per-channel
@@ -704,6 +710,31 @@ object Multimodal {
     MediaMeta(mediaId, fmt, w, h, ch, bytes.length.toLong, feats, "")
   }
 
+  /** JPEG 2000 (JP2 container or raw codestream): header-level decode via
+    * [[Jpx.dims]] — real geometry/component count from the validated SIZ/ihdr
+    * (no JDK codec exists for EBCOT entropy data, same situation as AVI
+    * frames), per-channel payload byte means as the deterministic feature
+    * stand-in (the AVI `movi` convention). Malformed headers land in the
+    * failure taxonomy. */
+  private def decodeJp2(mediaId: Long, bytes: Array[Byte]): MediaMeta =
+    Jpx.dims(bytes) match {
+      case None =>
+        MediaMeta(mediaId, "jp2", 0, 0, 0, bytes.length.toLong,
+          Vector.empty, "decode_error")
+      case Some(i) =>
+        val ch = math.max(1, i.ncomp)
+        val sums = new Array[Long](ch)
+        val counts = new Array[Long](ch)
+        var j = 0
+        while (j < bytes.length) {
+          val c = j % ch
+          sums(c) += (bytes(j) & 0xff); counts(c) += 1; j += 1
+        }
+        val feats = sums.indices.map(c =>
+          if (counts(c) == 0) 0.0 else sums(c).toDouble / counts(c)).toVector
+        MediaMeta(mediaId, "jp2", i.w, i.h, i.ncomp, bytes.length.toLong, feats, "")
+    }
+
   /** Decode one media payload: magic-sniff, then the real JDK image decoder
     * for PNG/JPEG/BMP or the GMB container parse for audio/video. Contract:
     * bytes in, typed meta + features out, failure taxonomy, no exceptions. */
@@ -717,6 +748,7 @@ object Multimodal {
       case "avi" => decodeAvi(mediaId, bytes)
       case "mp3" => decodeMp3(mediaId, bytes)
       case "h264" => decodeH264(mediaId, bytes)
+      case "jp2"  => decodeJp2(mediaId, bytes)
       case "unknown" => MediaMeta(mediaId, "unknown", 0, 0, 0,
         bytes.length.toLong, Vector.empty, "bad_magic")
       case fmt => decodeImage(mediaId, bytes, fmt)

@@ -355,6 +355,7 @@ object PdfLite {
                fontFile2: Boolean = false,
                jbig2Image: Option[Jbig2.Image] = None,
                fontFile3: Boolean = false,
+               jpxImage: Option[Jpx.Payload] = None,
                links: Seq[String] = Nil,
                info: Option[DocInfo] = None,
                userPw: String = "", ownerPw: String = ""): Array[Byte] = {
@@ -621,6 +622,17 @@ object PdfLite {
     if (scanned) {
       beginObj(imageObjNum)
       (dctImage, ccittImage) match {
+        case (None, None) if jpxImage.isDefined =>
+          // JPEG2000-compressed pixels (raw codestream or JP2 container)
+          // behind /JPXDecode; per §7.4.9 the codestream itself carries the
+          // authoritative geometry/colorspace, the dict entries mirror it
+          val x = jpxImage.get
+          val xb = encStream(imageObjNum, x.bytes)
+          put(s"$imageObjNum 0 obj << /Type /XObject /Subtype /Image " +
+            s"/Width ${x.w} /Height ${x.h} " +
+            s"/Filter /JPXDecode /Length ${xb.length} >> stream\n")
+          out.write(xb)
+          put("\nendstream endobj\n")
         case (None, None) if jbig2Image.isDefined =>
           // bilevel JBIG2-compressed pixels: embedded segment stream
           // (page info + immediate lossless generic region) behind
@@ -1988,6 +2000,7 @@ object PdfLite {
       any("/DCTDecode", "img:jpeg")
       any("/CCITTFaxDecode", "img:g4")
       any("/JBIG2Decode", "img:jbig2")
+      any("/JPXDecode", "img:jpx")
       if (dicts.exists(_.contains("/Subtype /Image")) &&
           !tags.exists(_.startsWith("img:"))) tags += "img:marker"
       any("/WinAnsiEncoding", "font:winansi")
@@ -2326,6 +2339,22 @@ object PdfLite {
           val rows = intAfter(o.dict, "/Rows")
             .orElse(intAfter(o.dict, "/Height")).getOrElse(0)
           rows > 0 && CcittG4.decode(streamBytes(o), cols, rows).isDefined
+        }
+        else if (o.dict.contains("/JPXDecode")) o.hasStream && {
+          // same contract: the JPEG2000 main header must validate (SOC/SIZ/
+          // COD/QCD walk, JP2 box + ihdr cross-check — kernel/Jpx) and
+          // agree with the declared geometry before the page may promote.
+          // The EOL before `endstream` (§7.3.8.1: not part of the data —
+          // but streamEnd here comes from the endstream scan) and the AES
+          // newline tail-pad are transport bytes, not codestream bytes:
+          // trim them or the raw codestream's EOC-at-tail check fails
+          val w = intAfter(o.dict, "/Width").getOrElse(0)
+          val h = intAfter(o.dict, "/Height").getOrElse(0)
+          val raw = streamBytes(o)
+          var e = raw.length
+          while (e > 0 && (raw(e - 1) == '\n' || raw(e - 1) == '\r')) e -= 1
+          Jpx.dims(java.util.Arrays.copyOfRange(raw, 0, e))
+            .exists(i => i.w == w && i.h == h)
         }
         else if (o.dict.contains("/JBIG2Decode")) o.hasStream && {
           // same contract again: the embedded segment stream must decode

@@ -843,6 +843,74 @@ object ExtractOps {
       |  AS t(flavor, cred, n_docs, n_opened)
       |ORDER BY flavor, cred""".stripMargin
 
+  /** q55_jpx_routing — JPEG 2000 image XObjects as a driver-visible routing
+    * gate (the way q46 graduated damaged-file recovery to a query): each of
+    * the corpus's first 200 pages donates its url as the deterministic
+    * identity, and a scanned one-page PDF is built around a `/JPXDecode`
+    * image XObject in one of four shapes chosen by url hash — valid raw
+    * 15444-1 codestream, valid JP2 box container, corrupt payload (header
+    * zeroed), dict-geometry mismatch — then re-routed through the FULL
+    * extractor. The routing contract under test ([[graft.kernel.Jpx]], the
+    * same one `/DCTDecode`/`/CCITTFaxDecode`/`/JBIG2Decode` obey): only the
+    * two valid shapes may promote a text-free page to the high-confidence
+    * (0.9) scanned route, while all four tag `img:jpx` in the dialect
+    * census. The slice is a fixed prefix (identical at every sf — the
+    * corpus is a pure function of the index), so the oracle is the
+    * committed per-shape counts as VALUES; distributed shape: one narrow
+    * mapPartitions over the prefix, no shuffle before the 4-group rollup
+    * (the q46 pattern). */
+  def q55JpxRouting(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tplBc = ExtractPipeline.broadcastTemplates(spark)
+    ExtractPipeline.pages(spark, 200L)
+      .mapPartitions { it =>
+        val tpl = tplBc.value
+        it.map { p =>
+          val k = ((p.url.hashCode % 997) + 997) % 997
+          val w = 400 + (k % 7) * 32
+          val h = 600 + (k % 5) * 16
+          val nc = 1 + (k % 3)
+          val shape = k % 4 match {
+            case 0 => "raw_valid"
+            case 1 => "jp2_valid"
+            case 2 => "corrupt"
+            case _ => "geom_mismatch"
+          }
+          val payload = shape match {
+            case "raw_valid" => Jpx.Payload(Jpx.encode(w, h, nc), w, h)
+            case "jp2_valid" => Jpx.Payload(Jpx.encodeJp2(w, h, nc), w, h)
+            case "corrupt" =>
+              val b = Jpx.encode(w, h, nc)
+              java.util.Arrays.fill(b, 0, 8, 0.toByte)
+              Jpx.Payload(b, w, h)
+            case _ => Jpx.Payload(Jpx.encode(w, h, nc), w + 1, h)
+          }
+          val pdf = PdfLite.writeDoc(
+            Seq(PdfLite.PageSpec(1700, 1200, Seq.empty)),
+            scanned = true, jpxImage = Some(payload))
+          val doc = Extractor.extract(p.url, pdf, "", p.lang, tpl)
+          val promoted = doc.route == "scanned" && doc.routeConfidence >= 0.9
+          val tagged = PdfLite.dialect(pdf).split(",").contains("img:jpx")
+          (shape, 1L, if (promoted) 1L else 0L, if (tagged) 1L else 0L)
+        }
+      }
+      .toDF("jpx_shape", "one", "hi", "tagged")
+      .groupBy(col("jpx_shape"))
+      .agg(sum(col("one")).cast("long").as("n_docs"),
+           sum(col("hi")).cast("long").as("n_promoted"),
+           sum(col("tagged")).cast("long").as("n_tagged"))
+      .orderBy(col("jpx_shape"))
+  }
+
+  val q55JpxRoutingSql: String =
+    """SELECT * FROM (VALUES
+      |  ('corrupt',       cast(45 as bigint), cast(0 as bigint),  cast(45 as bigint)),
+      |  ('geom_mismatch', cast(52 as bigint), cast(0 as bigint),  cast(52 as bigint)),
+      |  ('jp2_valid',     cast(51 as bigint), cast(51 as bigint), cast(51 as bigint)),
+      |  ('raw_valid',     cast(52 as bigint), cast(52 as bigint), cast(52 as bigint)))
+      |  AS t(jpx_shape, n_docs, n_promoted, n_tagged)
+      |ORDER BY jpx_shape""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_extract_rollup" -> (q25ExtractRollup _),
     "q26_extract_text_hash" -> (q26ExtractTextHash _),
@@ -863,7 +931,8 @@ object ExtractOps {
     "q49_outlinks" -> (q49Outlinks _),
     "q50_doc_meta" -> (q50DocMeta _),
     "q51_real_pdf_batch" -> (q51RealPdfBatch _),
-    "q54_password_auth" -> (q54PasswordAuth _))
+    "q54_password_auth" -> (q54PasswordAuth _),
+    "q55_jpx_routing" -> (q55JpxRouting _))
 
   def oracles: Map[String, String] = Map(
     "q25_extract_rollup" -> q25ExtractRollupSql,
@@ -885,5 +954,6 @@ object ExtractOps {
     "q49_outlinks" -> q49OutlinksSql,
     "q50_doc_meta" -> q50DocMetaSql,
     "q51_real_pdf_batch" -> q51RealPdfBatchSql,
-    "q54_password_auth" -> q54PasswordAuthSql)
+    "q54_password_auth" -> q54PasswordAuthSql,
+    "q55_jpx_routing" -> q55JpxRoutingSql)
 }
